@@ -1,0 +1,43 @@
+"""Evaluation layer: room-acoustic metrics, spectral losses, evaluators, image metrics."""
+
+from neraf_tpu.metrics.room_acoustics import (
+    measure_rt60,
+    measure_rt60_advance,
+    measure_edt,
+    measure_clarity,
+    compute_t60,
+    evaluate_edt,
+    evaluate_clarity,
+    batched_rt60,
+    batched_edt,
+    batched_clarity,
+)
+from neraf_tpu.metrics.losses import (
+    spectral_convergence_loss,
+    log_stft_magnitude_loss,
+    stft_loss,
+    spectral_loss,
+)
+from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
+from neraf_tpu.metrics.image import psnr, ssim
+
+__all__ = [
+    "measure_rt60",
+    "measure_rt60_advance",
+    "measure_edt",
+    "measure_clarity",
+    "compute_t60",
+    "evaluate_edt",
+    "evaluate_clarity",
+    "batched_rt60",
+    "batched_edt",
+    "batched_clarity",
+    "spectral_convergence_loss",
+    "log_stft_magnitude_loss",
+    "stft_loss",
+    "spectral_loss",
+    "RAFEvaluator",
+    "SoundSpacesEvaluator",
+    "psnr",
+    "ssim",
+]

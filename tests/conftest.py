@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-world analogue of multi-node testing without a cluster
+(SURVEY.md §4): sharding/collective code paths compile and execute against
+8 host devices, and all numerics run in float32 on CPU for determinism.
+"""
+
+import os
+
+# Hard override: the session environment pins JAX_PLATFORMS to the TPU tunnel
+# (and a sitecustomize registers the PJRT plugin before this file runs), so we
+# must both set the env var and update jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
