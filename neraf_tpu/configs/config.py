@@ -1,0 +1,288 @@
+"""Experiment configuration.
+
+A plain-dataclass config tree replacing nerfstudio's MethodSpecification /
+_target-factory lattice (reference NeRAF_config.py:32-139). The same three
+tiers are preserved:
+
+1. dataclass defaults (per-component configs below),
+2. the experiment "header" resolved by `default_config(dataset, scene)` —
+   per-dataset fs / STFT geometry / per-scene max_len tables mirroring
+   NeRAF_config.py:41-61,
+3. environment variables: ``NeRAF_dataset``, ``NeRAF_scene`` select the
+   experiment (NeRAF_config.py:36-39) and ``AVN_RENDER_POSES`` switches the
+   audio data stack to inference mode (NeRAF_datamanager.py:200-203).
+
+Configs serialize to YAML per run and round-trip for `neraf-eval
+--load-config`, mirroring nerfstudio's config.yml contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+# Per-scene STFT frame counts (reference NeRAF_config.py:43)
+SOUNDSPACES_MAX_LEN = {
+    "office_4": 78,
+    "room_2": 84,
+    "frl_apartment_2": 107,
+    "frl_apartment_4": 103,
+    "apartment_2": 86,
+    "apartment_1": 101,
+}
+
+
+@dataclass
+class AudioModelConfig:
+    """Acoustic field model (reference NeRAFAudioModelConfig, NeRAF_model.py:82-101)."""
+
+    dataset: str = "SoundSpaces"
+    use_grid: bool = True
+    grid_step: float = 1.0 / 128.0
+    n_features: int = 1024
+    use_multiple_viewing_directions: bool = True
+    loss_factor: float = 1e-3
+    max_len: int = 76
+    w_field: int = 512
+    fs: int = 22050
+    criterion: str = "SC+SLMSE"
+    n_freq_stft: int = 257
+    hop_len: int = 128
+    win_len: int = 512
+    resnet_backbone: str = "resnet50"
+
+    def resolve(self) -> "AudioModelConfig":
+        """Apply the per-dataset derivations of reference NeRAF_model.py:109-134."""
+        cfg = dataclasses.replace(self)
+        if cfg.dataset == "RAF":
+            cfg.fs = 48000
+            cfg.n_freq_stft = 513
+            cfg.hop_len = 256
+            cfg.win_len = 512
+            # RAF caps RIRs at 0.32 s -> frames (NeRAF_model.py:128)
+            cfg.max_len = int(0.32 * cfg.fs) // cfg.hop_len
+            cfg.mic_ch = 1
+        else:
+            cfg.mic_ch = 2
+        return cfg
+
+    # populated by resolve()
+    mic_ch: int = 2
+
+    @property
+    def n_fft(self) -> int:
+        return (self.n_freq_stft - 1) * 2
+
+
+@dataclass
+class VisionModelConfig:
+    """Nerfacto-class radiance model configuration."""
+
+    # hash encoding
+    num_levels: int = 16
+    features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_res: int = 16
+    max_res: int = 2048
+    # field MLPs
+    hidden_dim: int = 64
+    hidden_dim_color: int = 64
+    geo_feat_dim: int = 15
+    appearance_embed_dim: int = 32
+    average_init_density: float = 0.01  # reference NeRAF_config.py:96
+    # sampling
+    num_nerf_samples: int = 48
+    num_proposal_samples: tuple = (256, 96)
+    proposal_update_every: int = 5
+    proposal_warmup: int = 5000
+    use_single_jitter: bool = True
+    # losses
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
+    # rendering
+    eval_num_rays_per_chunk: int = 1 << 15
+    background_color: str = "last_sample"
+    # camera pose optimization (SO3xR3, reference NeRAF_config.py:97)
+    camera_opt_mode: str = "SO3xR3"
+
+
+@dataclass
+class AudioDataConfig:
+    """Audio data stack (reference NeRAFDataManagerConfig + dataparser configs)."""
+
+    data_dir: str = ""
+    dataset: str = "SoundSpaces"
+    batch_size: int = 2048  # STFT slices per step (NeRAF_config.py:47)
+    fs: int = 22050
+    max_len: int = 78
+    hop_len: int = 128
+
+
+@dataclass
+class VisionDataConfig:
+    """Vision data stack (transforms.json / ray batches)."""
+
+    data_dir: str = ""
+    train_rays_per_batch: int = 4096
+    eval_rays_per_batch: int = 4096
+    eval_mode: str = "filename"  # 'fraction' for RAF (NeRAF_config.py:46,56)
+    train_split_fraction: float = 0.9
+    downscale_factor: int = 1
+
+
+@dataclass
+class OptimizerGroupConfig:
+    lr: float = 1e-2
+    eps: float = 1e-15
+    lr_final: float = 1e-4
+    max_steps: int = 200000
+    warmup_steps: int = 0
+
+
+@dataclass
+class OptimizersConfig:
+    """The four named param groups of reference NeRAF_config.py:115-132."""
+
+    proposal_networks: OptimizerGroupConfig = field(
+        default_factory=lambda: OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=200000))
+    fields: OptimizerGroupConfig = field(
+        default_factory=lambda: OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=200000))
+    audio_fields: OptimizerGroupConfig = field(
+        default_factory=lambda: OptimizerGroupConfig(
+            lr=1e-4, lr_final=1e-8, max_steps=1002000, warmup_steps=2000))
+    camera_opt: OptimizerGroupConfig = field(
+        default_factory=lambda: OptimizerGroupConfig(lr=1e-3, lr_final=1e-4, max_steps=5000))
+
+
+@dataclass
+class MeshConfig:
+    """SPMD mesh layout. data: batch sharding; model: optional tensor sharding."""
+
+    data_axis: int = -1  # -1: use all available devices
+    model_axis: int = 1
+
+
+@dataclass
+class TrainerConfig:
+    """Engine settings (reference TrainerConfig usage, NeRAF_config.py:70-136)."""
+
+    max_num_iterations: int = 400001
+    start_step_audio: int = 2000
+    steps_per_eval_batch: int = 10000
+    steps_per_eval_image: int = 10000
+    steps_per_eval_all_images: int = 10000
+    steps_per_save: int = 20000
+    save_only_latest_checkpoint: bool = False
+    mixed_precision: bool = True  # bf16 compute on TPU (no grad scaler needed)
+    grid_bake_cells_per_step: int = 4096
+    steps_per_log: int = 100
+
+
+@dataclass
+class ExperimentConfig:
+    method_name: str = "NeRAF"
+    experiment_name: str = "experiment"
+    dataset: str = "SoundSpaces"
+    scene: str = "office_4"
+    output_dir: str = "./outputs"
+    eval_save_dir: str | None = None
+    seed: int = 42
+
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    audio_model: AudioModelConfig = field(default_factory=AudioModelConfig)
+    vision_model: VisionModelConfig = field(default_factory=VisionModelConfig)
+    audio_data: AudioDataConfig = field(default_factory=AudioDataConfig)
+    vision_data: VisionDataConfig = field(default_factory=VisionDataConfig)
+    optimizers: OptimizersConfig = field(default_factory=OptimizersConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def default_config(dataset: str | None = None, scene: str | None = None,
+                   data_root: str | None = None) -> ExperimentConfig:
+    """Build the experiment config for a dataset/scene pair.
+
+    Applies the reference's experiment-header logic (NeRAF_config.py:32-67)
+    including the env-var overrides NeRAF_dataset / NeRAF_scene.
+    """
+    dataset = os.environ.get("NeRAF_dataset", dataset or "RAF")
+    scene = os.environ.get("NeRAF_scene", scene or ("FurnishedRoom" if dataset == "RAF" else "office_4"))
+
+    cfg = ExperimentConfig(dataset=dataset, scene=scene,
+                           experiment_name=f"{scene}_NeRAF")
+
+    if dataset == "SoundSpaces":
+        fs = 22050
+        max_len = SOUNDSPACES_MAX_LEN.get(scene, 78)
+        cfg.audio_model = AudioModelConfig(dataset=dataset, fs=fs, max_len=max_len).resolve()
+        cfg.audio_data = AudioDataConfig(dataset=dataset, fs=fs, max_len=max_len, hop_len=128)
+        cfg.vision_data.eval_mode = "filename"
+        cfg.optimizers.audio_fields.warmup_steps = cfg.trainer.start_step_audio
+    else:
+        cfg.audio_model = AudioModelConfig(dataset="RAF").resolve()
+        cfg.audio_data = AudioDataConfig(dataset="RAF", fs=48000,
+                                         max_len=cfg.audio_model.max_len, hop_len=256)
+        cfg.vision_data.eval_mode = "fraction"
+        cfg.optimizers.audio_fields.warmup_steps = cfg.trainer.start_step_audio
+
+    if data_root is not None:
+        base = Path(data_root) / scene
+        cfg.audio_data.data_dir = str(base)
+        cfg.vision_data.data_dir = str(base)
+    return cfg
+
+
+def _to_dict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+def _from_dict(cls, d: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        # f.type is a string under `from __future__ import annotations`;
+        # nested dataclasses are resolved by field name instead.
+        if f.name in _NESTED and isinstance(v, dict):
+            kwargs[f.name] = _from_dict(_NESTED[f.name], v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "trainer": TrainerConfig,
+    "audio_model": AudioModelConfig,
+    "vision_model": VisionModelConfig,
+    "audio_data": AudioDataConfig,
+    "vision_data": VisionDataConfig,
+    "optimizers": OptimizersConfig,
+    "mesh": MeshConfig,
+    "proposal_networks": OptimizerGroupConfig,
+    "fields": OptimizerGroupConfig,
+    "audio_fields": OptimizerGroupConfig,
+    "camera_opt": OptimizerGroupConfig,
+}
+
+
+def save_config(cfg: ExperimentConfig, path: str | Path) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)
+
+
+def load_config(path: str | Path) -> ExperimentConfig:
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return _from_dict(ExperimentConfig, d)

@@ -1,0 +1,94 @@
+"""Encodings: NeRF PE closed-form oracle, SH properties, hash-grid behavior."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neraf_tpu.ops.encodings import nerf_encoding, nerf_encoding_dim, sh_encoding
+from neraf_tpu.ops.hashgrid import HashGridSpec, hash_encoding, init_hash_table
+
+
+def test_nerf_encoding_dims():
+    x = jnp.zeros((5, 3))
+    enc = nerf_encoding(x, num_frequencies=10)
+    assert enc.shape == (5, nerf_encoding_dim(3, 10))
+    assert enc.shape[-1] == 63
+    t = jnp.zeros((5, 1))
+    assert nerf_encoding(t).shape == (5, 21)
+
+
+def test_nerf_encoding_values(rng):
+    """Oracle: the nerfstudio formula computed directly in numpy."""
+    x = rng.random((7, 3)).astype(np.float32)
+    freqs = 2.0 ** np.linspace(0.0, 8.0, 10)
+    scaled = 2 * np.pi * x
+    ang = (scaled[..., None] * freqs).reshape(7, -1)
+    expected = np.concatenate([np.sin(ang), np.sin(ang + np.pi / 2), x], axis=-1)
+    ours = np.asarray(nerf_encoding(jnp.asarray(x)))
+    # 2^8 * 2pi * x reaches ~1600 rad; float32 argument reduction costs ~2e-4
+    np.testing.assert_allclose(ours, expected, atol=1e-3)
+
+
+def test_sh_encoding_structure():
+    # input 0.5 -> remapped to the zero vector: all odd-degree terms vanish;
+    # coefficient 6 keeps its constant part (tcnn evaluates the raw polynomial)
+    out = np.asarray(sh_encoding(jnp.asarray([[0.5, 0.5, 0.5]])))
+    np.testing.assert_allclose(out[0, 0], 0.28209479177387814, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 1:6], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 6], -0.31539156525251999, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 7:9], 0.0, atol=1e-6)
+    # degree-1 terms are linear in the remapped input
+    out_x = np.asarray(sh_encoding(jnp.asarray([[1.0, 0.5, 0.5]])))  # x=+1
+    np.testing.assert_allclose(out_x[0, 3], -0.48860251190291987, rtol=1e-6)
+    out_z = np.asarray(sh_encoding(jnp.asarray([[0.5, 0.5, 1.0]])))  # z=+1
+    np.testing.assert_allclose(out_z[0, 2], 0.48860251190291987, rtol=1e-6)
+    assert out.shape == (1, 16)
+
+
+def test_hash_encoding_shapes_and_grad():
+    spec = HashGridSpec(num_levels=4, features_per_level=2, log2_hashmap_size=8,
+                        base_res=4, max_res=32)
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (11, 3))
+    out = hash_encoding(table, x, spec)
+    assert out.shape == (11, spec.out_dim)
+
+    def loss(tbl):
+        return jnp.sum(hash_encoding(tbl, x, spec) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_hash_encoding_is_continuous():
+    """Trilinear interp: small input perturbations give small output changes."""
+    spec = HashGridSpec(num_levels=2, features_per_level=2, log2_hashmap_size=10,
+                        base_res=4, max_res=8)
+    table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e4  # amplify
+    x = jnp.asarray([[0.37, 0.52, 0.61]])
+    eps = 1e-5
+    a = hash_encoding(table, x, spec)
+    b = hash_encoding(table, x + eps, spec)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-2
+
+
+def test_hash_encoding_dense_levels_exact():
+    """On a dense (collision-free) level, a query at a cell corner returns the
+    table entry for that corner exactly."""
+    spec = HashGridSpec(num_levels=1, features_per_level=2, log2_hashmap_size=10,
+                        base_res=4, max_res=4)
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    # corner (1, 2, 3) on a res-4 grid -> position (0.25, 0.5, 0.75)
+    x = jnp.asarray([[0.25, 0.5, 0.75]])
+    out = np.asarray(hash_encoding(table, x, spec))[0]
+    idx = 1 + 2 * 5 + 3 * 25
+    np.testing.assert_allclose(out, np.asarray(table)[0, idx], atol=1e-6)
+
+
+def test_hash_encoding_batch_shape():
+    spec = HashGridSpec(num_levels=2, features_per_level=2, log2_hashmap_size=8,
+                        base_res=4, max_res=8)
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 5, 3))
+    assert hash_encoding(table, x, spec).shape == (3, 5, spec.out_dim)
