@@ -1,0 +1,50 @@
+"""Checkpoint save/restore (orbax).
+
+The reference saves every 20k steps keeping all checkpoints
+(NeRAF_config.py:76-77) and serializes the baked scene grid alongside model
+weights (NeRAF_pipeline.py:492-497). Here the whole train state — params,
+optimizer states, grid buffer, cursor, step, PRNG key — is one pytree, so
+"grid is state" holds by construction.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str | Path, step: int, state: Any,
+                    keep_all: bool = True) -> Path:
+    """Write state pytree to <ckpt_dir>/step-<step>."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"step-{step:09d}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    if not keep_all:
+        for p in sorted(ckpt_dir.glob("step-*")):
+            if p != path:
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = sorted(ckpt_dir.glob("step-*"))
+    return steps[-1] if steps else None
+
+
+def restore_checkpoint(path: str | Path, target: Any) -> Any:
+    """Restore into the structure of `target` (an abstract or concrete pytree)."""
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+    return ckptr.restore(Path(path).absolute(), abstract)
