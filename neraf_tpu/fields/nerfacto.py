@@ -1,0 +1,157 @@
+"""Nerfacto-class radiance field + proposal density fields (flax).
+
+TPU-native rebuild of nerfstudio's NerfactoField / HashMLPDensityField, the
+field stack the reference inherits (SURVEY.md §2.2). Structure:
+
+  positions --contract--> [0,1]^3 --hash encoding--> base MLP (2x64)
+      -> (density_before_activation, geo_feat[15])
+  density = average_init_density * trunc_exp(density_before_activation)
+  rgb = sigmoid(head MLP(SH4(dir), geo_feat, appearance_embedding))
+
+The hash encoding is the XLA gather path from ops/hashgrid.py; the small MLPs
+are plain Dense stacks that XLA fuses into the surrounding computation (the
+tcnn "fully-fused MLP" trick is the compiler's job on TPU — the MLP weights
+stay resident in VMEM across the batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neraf_tpu.configs.config import VisionModelConfig
+from neraf_tpu.ops.contraction import contract_to_unit
+from neraf_tpu.ops.encodings import sh_encoding
+from neraf_tpu.ops.hashgrid import HashGridSpec, hash_encoding, init_hash_table
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with a clamped-input gradient (instant-NGP trunc_exp)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+class HashTable(nn.Module):
+    """Hash-grid feature table as a flax parameter."""
+
+    spec: HashGridSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        table = self.param("table", lambda k: init_hash_table(k, self.spec))
+        return hash_encoding(table, x, self.spec)
+
+
+class NerfactoField(nn.Module):
+    """Main radiance field."""
+
+    config: VisionModelConfig
+    num_cameras: int = 1
+
+    def setup(self):
+        cfg = self.config
+        self.hash = HashTable(HashGridSpec(
+            num_levels=cfg.num_levels,
+            features_per_level=cfg.features_per_level,
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            base_res=cfg.base_res,
+            max_res=cfg.max_res,
+        ))
+        self.mlp_base = [nn.Dense(cfg.hidden_dim, name=f"base_{i}") for i in range(2)]
+        self.base_out = nn.Dense(1 + cfg.geo_feat_dim, name="base_out")
+        self.mlp_head = [nn.Dense(cfg.hidden_dim_color, name=f"head_{i}") for i in range(3)]
+        self.head_out = nn.Dense(3, name="head_out")
+        self.appearance = nn.Embed(self.num_cameras, cfg.appearance_embed_dim,
+                                   name="appearance")
+
+    def density_and_features(self, positions: jnp.ndarray, contract: bool = True):
+        """positions (..., 3) world -> density (..., 1), geo features (..., G).
+
+        contract=True: scene contraction -> [0,1]^3 (unbounded scenes).
+        contract=False: normalize by the [-1,1] scene box and zero densities
+        outside it — nerfstudio's no-distortion branch, used by the grid bake
+        (reference NeRAF_model.py:302 disables contraction temporarily).
+        """
+        if contract:
+            x = contract_to_unit(positions)
+            selector = None
+        else:
+            x = (positions + 1.0) / 2.0  # scene box [-1, 1]^3
+            selector = jnp.all((x > 0.0) & (x < 1.0), axis=-1)
+        h = self.hash(x)
+        for layer in self.mlp_base:
+            h = nn.relu(layer(h))
+        h = self.base_out(h)
+        density_raw, geo = h[..., :1], h[..., 1:]
+        density = self.config.average_init_density * trunc_exp(density_raw)
+        if selector is not None:
+            density = density * selector[..., None]
+        return density, geo
+
+    def rgb_from_features(self, directions: jnp.ndarray, geo: jnp.ndarray,
+                          camera_indices: jnp.ndarray,
+                          use_average_appearance: bool = False) -> jnp.ndarray:
+        """directions (..., 3) unit vectors; camera_indices (...,) int."""
+        d = (directions + 1.0) / 2.0
+        d_enc = sh_encoding(d)
+        if use_average_appearance:
+            emb = jnp.mean(self.appearance.embedding, axis=0)
+            emb = jnp.broadcast_to(emb, geo.shape[:-1] + (emb.shape[-1],))
+        else:
+            emb = self.appearance(camera_indices)
+        h = jnp.concatenate([d_enc, geo, emb], axis=-1)
+        for layer in self.mlp_head:
+            h = nn.relu(layer(h))
+        return nn.sigmoid(self.head_out(h))
+
+    def __call__(self, positions, directions, camera_indices,
+                 contract: bool = True, use_average_appearance: bool = False):
+        density, geo = self.density_and_features(positions, contract)
+        rgb = self.rgb_from_features(directions, geo, camera_indices,
+                                     use_average_appearance)
+        return {"density": density[..., 0], "rgb": rgb}
+
+
+@dataclasses.dataclass(frozen=True)
+class ProposalFieldSpec:
+    num_levels: int = 5
+    max_res: int = 128
+    base_res: int = 16
+    log2_hashmap_size: int = 17
+    features_per_level: int = 2
+    hidden_dim: int = 16
+
+
+class ProposalDensityField(nn.Module):
+    """Small density-only field for hierarchical sampling (HashMLPDensityField)."""
+
+    spec: ProposalFieldSpec
+    average_init_density: float = 0.01
+
+    @nn.compact
+    def __call__(self, positions: jnp.ndarray, contract: bool = True) -> jnp.ndarray:
+        x = contract_to_unit(positions) if contract else positions
+        h = HashTable(HashGridSpec(
+            num_levels=self.spec.num_levels,
+            features_per_level=self.spec.features_per_level,
+            log2_hashmap_size=self.spec.log2_hashmap_size,
+            base_res=self.spec.base_res,
+            max_res=self.spec.max_res,
+        ))(x)
+        h = nn.relu(nn.Dense(self.spec.hidden_dim)(h))
+        h = nn.Dense(1)(h)
+        return self.average_init_density * trunc_exp(h[..., 0])

@@ -1,0 +1,136 @@
+"""Volume rendering: transmittance weights, renderers, NeRF losses.
+
+TPU-native equivalents of nerfstudio's renderers and model_components.losses
+used by Nerfacto (SURVEY.md §2.2). Everything operates on fixed-size sample
+tensors (R rays x S samples) — static shapes by construction, so the whole
+render is one fused XLA computation. The exclusive-cumprod transmittance
+matches nerfstudio's `get_weights`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def render_weights(densities: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
+    """Volume-rendering weights from densities.
+
+    w_i = T_i * (1 - exp(-sigma_i * delta_i)),  T_i = exp(-sum_{j<i} sigma_j delta_j)
+
+    Args:
+        densities: (..., S) non-negative densities.
+        deltas: (..., S) segment lengths.
+    Returns:
+        (..., S) weights.
+    """
+    delta_density = densities * deltas
+    alphas = 1.0 - jnp.exp(-delta_density)
+    # exclusive cumsum of optical depth
+    accum = jnp.cumsum(delta_density, axis=-1)
+    accum = jnp.concatenate(
+        [jnp.zeros_like(accum[..., :1]), accum[..., :-1]], axis=-1)
+    transmittance = jnp.exp(-accum)
+    return alphas * transmittance
+
+
+def render_rgb(rgb: jnp.ndarray, weights: jnp.ndarray,
+               background_color: str = "last_sample") -> jnp.ndarray:
+    """Composite per-sample rgb with weights; fill the remainder with background.
+
+    Args:
+        rgb: (..., S, 3), weights: (..., S).
+    """
+    comp = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+    if background_color == "last_sample":
+        bg = rgb[..., -1, :]
+    elif background_color == "white":
+        bg = jnp.ones_like(comp)
+    elif background_color == "black":
+        bg = jnp.zeros_like(comp)
+    else:
+        raise ValueError(background_color)
+    return comp + bg * (1.0 - acc)
+
+
+def render_accumulation(weights: jnp.ndarray) -> jnp.ndarray:
+    """(..., S) -> (...,) total opacity."""
+    return jnp.sum(weights, axis=-1)
+
+
+def batched_searchsorted(sorted_seq: jnp.ndarray, values: jnp.ndarray,
+                         side: str = "left") -> jnp.ndarray:
+    """searchsorted along the last axis with arbitrary shared leading dims."""
+    flat_s = sorted_seq.reshape(-1, sorted_seq.shape[-1])
+    flat_v = values.reshape(-1, values.shape[-1])
+    out = jax.vmap(lambda s, v: jnp.searchsorted(s, v, side=side))(flat_s, flat_v)
+    return out.reshape(values.shape)
+
+
+def render_depth(weights: jnp.ndarray, steps: jnp.ndarray,
+                 method: str = "median") -> jnp.ndarray:
+    """Depth from weights and per-sample midpoints.
+
+    'median': smallest step where the cumulative weight reaches 0.5 (nerfstudio
+    default for the depth image); 'expected': weight-averaged midpoint.
+    """
+    if method == "expected":
+        eps = 1e-10
+        return jnp.sum(weights * steps, axis=-1) / (
+            jnp.sum(weights, axis=-1) + eps)
+    cum = jnp.cumsum(weights, axis=-1)
+    split = 0.5 * jnp.ones_like(cum[..., :1])
+    idx = jnp.clip(batched_searchsorted(cum, split, "left"), 0, steps.shape[-1] - 1)
+    return jnp.take_along_axis(steps, idx, axis=-1)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Nerfacto losses
+# ---------------------------------------------------------------------------
+
+def _outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
+    """Summed y1 within each t0 interval (mip-NeRF-360 inner/outer helper).
+
+    All inputs (..., S0[/S1]) with t1 a piecewise-constant histogram.
+    """
+    cy1 = jnp.concatenate(
+        [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
+
+    idx_lo = jnp.clip(
+        batched_searchsorted(t1_starts, t0_starts, "right") - 1, 0, y1.shape[-1] - 1)
+    idx_hi = jnp.clip(
+        batched_searchsorted(t1_ends, t0_ends, "left"), 0, y1.shape[-1] - 1)
+    cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
+    cy1_hi = jnp.take_along_axis(cy1, idx_hi + 1, axis=-1)
+    return cy1_hi - cy1_lo
+
+
+def interlevel_loss(weights: jnp.ndarray, spacing_starts: jnp.ndarray,
+                    spacing_ends: jnp.ndarray,
+                    prop_weights: jnp.ndarray, prop_starts: jnp.ndarray,
+                    prop_ends: jnp.ndarray) -> jnp.ndarray:
+    """Proposal supervision (mip-NeRF-360 / nerfstudio interlevel_loss).
+
+    Penalizes proposal histograms that under-cover the final weights:
+    mean(clip(w - w_outer, 0)^2 / (w + eps)). Gradients flow only to the
+    proposal weights (the final weights are treated as targets).
+    """
+    w = jax.lax.stop_gradient(weights)
+    starts = jax.lax.stop_gradient(spacing_starts)
+    ends = jax.lax.stop_gradient(spacing_ends)
+    w_outer = _outer(starts, ends, prop_starts, prop_ends, prop_weights)
+    clipped = jnp.clip(w - w_outer, 0.0, None)
+    return jnp.mean(clipped**2 / (w + 1e-7))
+
+
+def distortion_loss(weights: jnp.ndarray, spacing_starts: jnp.ndarray,
+                    spacing_ends: jnp.ndarray) -> jnp.ndarray:
+    """mip-NeRF-360 distortion regularizer on normalized-spacing histograms."""
+    mid = (spacing_starts + spacing_ends) / 2.0
+    dt = spacing_ends - spacing_starts
+    # pairwise term: sum_ij w_i w_j |m_i - m_j|
+    dm = jnp.abs(mid[..., :, None] - mid[..., None, :])
+    inner = jnp.sum(weights[..., :, None] * weights[..., None, :] * dm, axis=(-1, -2))
+    self_term = jnp.sum(weights**2 * dt, axis=-1) / 3.0
+    return jnp.mean(inner + self_term)

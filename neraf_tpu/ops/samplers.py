@@ -1,0 +1,141 @@
+"""Ray samplers: uniform-lindisp-piecewise initial sampling + PDF resampling.
+
+Static-shape JAX ports of the nerfstudio samplers behind Nerfacto
+(UniformLinDispPiecewiseSampler, PDFSampler, ProposalNetworkSampler — imported
+by the reference at NeRAF_model.py:18). Sample counts are compile-time
+constants; stochasticity comes from explicit PRNG keys with the same
+single-jitter strategy as the reference config (use_single_jitter=True).
+
+All samplers operate in the normalized "spacing" domain s in [0,1]:
+ - s < 0.5 maps linearly in depth over [near, mid],
+ - s >= 0.5 maps linearly in disparity over [mid, far],
+which concentrates samples near the camera without losing the far field.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _spacing_to_euclidean(s: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise lin/lindisp map: s<1/2 -> t=2s (linear), else t=1/(2(1-s))."""
+    return jnp.where(s < 0.5, 2.0 * s, 1.0 / (2.0 * (1.0 - jnp.minimum(s, 1.0 - 1e-7))))
+
+
+def _euclidean_to_spacing(t: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _spacing_to_euclidean: t<1 -> t/2, else 1 - 1/(2t)."""
+    return jnp.where(t < 1.0, t / 2.0, 1.0 - 1.0 / (2.0 * jnp.maximum(t, 1e-7)))
+
+
+def spacing_bins_to_euclidean(bins_s: jnp.ndarray, near: jnp.ndarray,
+                              far: jnp.ndarray) -> jnp.ndarray:
+    """Map spacing-domain bins (R, S+1) to euclidean distances along the ray."""
+    s_near = _euclidean_to_spacing(near)
+    s_far = _euclidean_to_spacing(far)
+    s = bins_s * s_far[..., None] + (1.0 - bins_s) * s_near[..., None]
+    return _spacing_to_euclidean(s)
+
+
+def uniform_spacing_bins(key: jax.Array, num_rays: int, num_samples: int,
+                         single_jitter: bool = True,
+                         deterministic: bool = False) -> jnp.ndarray:
+    """Stratified uniform bins in the spacing domain -> (R, S+1) in [0,1]."""
+    edges = jnp.linspace(0.0, 1.0, num_samples + 1)
+    bins = jnp.broadcast_to(edges, (num_rays, num_samples + 1))
+    if deterministic:
+        return bins
+    width = 1.0 / num_samples
+    if single_jitter:
+        jitter = jax.random.uniform(key, (num_rays, 1)) * width
+    else:
+        jitter = jax.random.uniform(key, (num_rays, num_samples + 1)) * width
+    # jitter interior edges only; keep 0 and 1 fixed to cover [near, far]
+    interior = bins[..., 1:-1] + (jitter[..., : num_samples - 1]
+                                  if not single_jitter else jitter) - width / 2.0
+    interior = jnp.clip(interior, 0.0, 1.0)
+    return jnp.concatenate([bins[..., :1], interior, bins[..., -1:]], axis=-1)
+
+
+def pdf_spacing_bins(
+    key: jax.Array,
+    bins_s: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_samples: int,
+    single_jitter: bool = True,
+    deterministic: bool = False,
+    histogram_padding: float = 0.01,
+) -> jnp.ndarray:
+    """Inverse-CDF resampling of spacing bins from proposal weights.
+
+    Args:
+        bins_s: (R, S+1) existing spacing-domain bin edges.
+        weights: (R, S) per-interval weights.
+    Returns:
+        (R, num_samples+1) new sorted spacing bin edges.
+    """
+    num_bins = num_samples + 1
+    eps = 1e-5
+    w = weights + histogram_padding / weights.shape[-1]
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    pad = jnp.clip(eps - w_sum, 0.0, None)
+    w = w + pad / w.shape[-1]
+    w_sum = w_sum + pad
+
+    pdf = w / w_sum
+    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1)
+    # cdf: (R, S+1) aligned with bins_s edges
+
+    u_base = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)
+    if deterministic:
+        u = u_base + 0.5 / num_bins
+        u = jnp.broadcast_to(u, bins_s.shape[:-1] + (num_bins,))
+    else:
+        if single_jitter:
+            rand = jax.random.uniform(key, bins_s.shape[:-1] + (1,)) / num_bins
+        else:
+            rand = jax.random.uniform(key, bins_s.shape[:-1] + (num_bins,)) / num_bins
+        u = u_base + rand
+
+    S = cdf.shape[-1] - 1
+    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
+    flat_u = u.reshape(-1, num_bins)
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(flat_cdf, flat_u)
+    inds = inds.reshape(u.shape)
+    below = jnp.clip(inds - 1, 0, S)
+    above = jnp.clip(inds, 0, S)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(bins_s, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(bins_s, above, axis=-1)
+
+    denom = cdf_g1 - cdf_g0
+    t = jnp.clip(jnp.where(denom > 1e-12, (u - cdf_g0) / denom, 0.0), 0.0, 1.0)
+    return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def bins_to_samples(bins_s: jnp.ndarray, origins: jnp.ndarray,
+                    directions: jnp.ndarray, near: jnp.ndarray,
+                    far: jnp.ndarray):
+    """Spacing bins -> sample positions/midpoints/deltas along rays.
+
+    Returns dict with positions (R,S,3), deltas (R,S), euclid starts/ends
+    (R,S), spacing starts/ends (R,S).
+    """
+    t_edges = spacing_bins_to_euclidean(bins_s, near, far)  # (R, S+1)
+    starts = t_edges[..., :-1]
+    ends = t_edges[..., 1:]
+    mids = (starts + ends) / 2.0
+    positions = origins[..., None, :] + directions[..., None, :] * mids[..., None]
+    return {
+        "positions": positions,
+        "deltas": ends - starts,
+        "starts": starts,
+        "ends": ends,
+        "mids": mids,
+        "spacing_starts": bins_s[..., :-1],
+        "spacing_ends": bins_s[..., 1:],
+    }
