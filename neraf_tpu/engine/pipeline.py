@@ -1,0 +1,374 @@
+"""Joint vision+audio pipeline: the NeRAF training/eval orchestration.
+
+Functional rebuild of the reference NeRAFPipeline (NeRAF_pipeline.py:46-497):
+every training step
+  1. renders a ray batch through the Nerfacto model (vision losses),
+  2. refreshes `cells_per_step` scene-grid cells from the radiance field
+     (always, from step 0 — NeRAF_pipeline.py:181-184),
+  3. after `start_step_audio`, encodes the grid with the 3D ResNet and runs
+     the acoustic field on an STFT-slice batch (audio losses, which
+     backpropagate into the radiance field through the fresh grid cells),
+  4. applies the four named optimizers with the reference's cross-coupling:
+     vision field params are updated by BOTH the `fields` optimizer and the
+     `audio_fields` optimizer (NeRAF_pipeline.py:487 appends the vision field
+     group to audio_fields; in torch both Adams step the same gradient).
+
+The whole step is ONE jitted XLA computation with the state donated: ray/STFT
+batch sampling, both model forwards, the grid splice and all four optimizer
+updates fuse into a single device program. `step` gating of the audio branch
+is a multiplicative mask (no retracing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neraf_tpu.configs.config import ExperimentConfig
+from neraf_tpu.data.loader import sample_audio_batch
+from neraf_tpu.data.vision_data import generate_rays, sample_pixel_batch
+from neraf_tpu.dsp.griffin_lim import griffin_lim
+from neraf_tpu.dsp.stft import log_to_magnitude
+from neraf_tpu.engine.optimizers import make_optimizer
+from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
+from neraf_tpu.metrics.image import psnr as psnr_fn, ssim as ssim_fn
+from neraf_tpu.models.audio import AudioModel
+from neraf_tpu.models.grid import (
+    bake_cells,
+    compute_fresh_cells,
+    fixed_viewing_directions,
+    grid_to_volume,
+    init_grid,
+)
+from neraf_tpu.models.resnet3d import ResNet3D
+from neraf_tpu.models.vision import VisionModel
+
+
+class JointTrainState(NamedTuple):
+    params: dict  # {"proposal_networks", "fields", "camera_opt", "audio"}
+    batch_stats: Any  # ResNet BN running stats
+    opt_states: dict  # {"proposal_networks", "fields", "camera_opt", "audio_fields"}
+    grid: jnp.ndarray  # (N_cells, 7)
+    cursor: jnp.ndarray  # int32
+    step: jnp.ndarray  # int32
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class JointPipeline:
+    """Owns model definitions + compiled step functions for joint training."""
+
+    config: ExperimentConfig
+    vision_model: VisionModel
+    audio_model: AudioModel
+    audio_aabb: jnp.ndarray  # (2,3) audio scene box
+    vision_aabb: jnp.ndarray  # (2,3) vision scene box ([-1,1]^3)
+    grid_res: int = 128
+
+    def __post_init__(self):
+        ocfg = self.config.optimizers
+        self.opt_prop = make_optimizer(ocfg.proposal_networks)
+        self.opt_fields = make_optimizer(ocfg.fields)
+        self.opt_cam = make_optimizer(ocfg.camera_opt)
+        self.opt_audio = make_optimizer(ocfg.audio_fields)
+
+        self.resnet = ResNet3D(backbone=self.config.audio_model.resnet_backbone,
+                               n_features=self.config.audio_model.n_features,
+                               grid_step=self.config.audio_model.grid_step)
+        self.view_dirs = fixed_viewing_directions()
+        import neraf_tpu.models.grid as grid_mod
+
+        self.cells = jnp.asarray(grid_mod.cell_centers(self.grid_res))
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._render_rays_eval = jax.jit(self._render_rays_eval_impl)
+        self._grid_feature_eval = jax.jit(self._grid_feature_eval_impl)
+        self._render_rirs = jax.jit(self._render_rirs_impl)
+
+    # ------------------------------------------------------------------- init
+    def init_state(self, seed: int | None = None) -> JointTrainState:
+        seed = self.config.seed if seed is None else seed
+        k = jax.random.PRNGKey(seed)
+        kv, ka, kr, krng = jax.random.split(k, 4)
+
+        vision_params = self.vision_model.init(kv)
+        audio_params = self.audio_model.init(ka)
+
+        grid = init_grid(self.grid_res)
+        vol = grid_to_volume(grid, self.grid_res)
+        resnet_vars = self.resnet.init(kr, vol, train=True)
+
+        params = {
+            "proposal_networks": vision_params["proposal_networks"],
+            "fields": vision_params["fields"],
+            "camera_opt": vision_params["camera_opt"],
+            "audio": {"field": audio_params, "resnet": resnet_vars["params"]},
+        }
+        opt_states = {
+            "proposal_networks": self.opt_prop.init(params["proposal_networks"]),
+            "fields": self.opt_fields.init(params["fields"]),
+            "camera_opt": self.opt_cam.init(params["camera_opt"]),
+            "audio_fields": self.opt_audio.init(
+                {"audio": params["audio"], "vision_fields": params["fields"]}),
+        }
+        return JointTrainState(
+            params=params,
+            batch_stats=resnet_vars.get("batch_stats", {}),
+            opt_states=opt_states,
+            grid=grid,
+            cursor=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+            rng=krng,
+        )
+
+    # ------------------------------------------------------------ shared bits
+    def _vision_params(self, params: dict) -> dict:
+        return {
+            "proposal_networks": params["proposal_networks"],
+            "fields": params["fields"],
+            "camera_opt": params["camera_opt"],
+        }
+
+    def _grid_feature(self, params: dict, batch_stats, grid: jnp.ndarray,
+                      train: bool):
+        """Encode the grid -> (n_features,) descriptor (+ updated BN stats)."""
+        vol = grid_to_volume(grid, self.grid_res)
+        if train:
+            feat, mut = self.resnet.apply(
+                {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
+                vol, train=True, mutable=["batch_stats"])
+            return feat[0], mut["batch_stats"]
+        feat = self.resnet.apply(
+            {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
+            vol, train=False)
+        return feat[0], batch_stats
+
+    # ------------------------------------------------------------- train step
+    def _train_step_impl(self, state: JointTrainState, vision_arrays: dict,
+                         audio_arrays: dict, image_arrays: dict):
+        cfg = self.config
+        tcfg = cfg.trainer
+        rng, k_pix, k_aud, k_render = jax.random.split(state.rng, 4)
+
+        # --- sample batches (device-side)
+        n_cams = image_arrays["images"].shape[0]
+        H, W = image_arrays["images"].shape[1:3]
+        cam, py, px = sample_pixel_batch(
+            k_pix, n_cams, H, W, cfg.vision_data.train_rays_per_batch)
+        rays = generate_rays(vision_arrays, cam, px, py)
+        gt_rgb = image_arrays["images"][cam, py, px]
+
+        audio_batch = sample_audio_batch(
+            k_aud, audio_arrays, cfg.audio_data.batch_size,
+            self.audio_model.config.max_len)
+
+        audio_active = (state.step > tcfg.start_step_audio).astype(jnp.float32)
+
+        def loss_fn(params):
+            # vision forward
+            vout = self.vision_model.forward(
+                self._vision_params(params), rays, k_render, train=True)
+            losses = self.vision_model.loss(vout, gt_rgb)
+
+            # grid bake (always; gradient flows through fresh cells)
+            def query_fn(pos, dirs):
+                return self.vision_model.query_density_rgb(
+                    self._vision_params(params), pos, dirs)
+
+            fresh = compute_fresh_cells(
+                query_fn, state.cursor, self.cells, self.vision_aabb,
+                tcfg.grid_bake_cells_per_step, self.view_dirs)
+            new_grid, new_cursor = bake_cells(state.grid, state.cursor, fresh)
+
+            # audio forward (masked before start_step_audio)
+            feat, new_stats = self._grid_feature(
+                params, state.batch_stats, new_grid, train=True)
+            aout = self.audio_model.apply(
+                params["audio"]["field"], audio_batch, self.audio_aabb,
+                grid_feature=feat)
+            audio_losses = self.audio_model.loss(aout, audio_batch["data"])
+            for k, v in audio_losses.items():
+                losses[k] = v * audio_active
+
+            total = sum(losses.values())
+            aux = {"losses": losses, "grid": new_grid, "cursor": new_cursor,
+                   "batch_stats": new_stats}
+            return total, aux
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # --- four optimizer groups with the fields/audio cross-coupling
+        p = state.params
+        os_ = state.opt_states
+
+        up_prop, os_prop = self.opt_prop.update(
+            grads["proposal_networks"], os_["proposal_networks"], p["proposal_networks"])
+        up_fields, os_fields = self.opt_fields.update(
+            grads["fields"], os_["fields"], p["fields"])
+        up_cam, os_cam = self.opt_cam.update(
+            grads["camera_opt"], os_["camera_opt"], p["camera_opt"])
+
+        audio_grads = {"audio": grads["audio"], "vision_fields": grads["fields"]}
+        audio_params_joint = {"audio": p["audio"], "vision_fields": p["fields"]}
+        up_audio, os_audio = self.opt_audio.update(
+            audio_grads, os_["audio_fields"], audio_params_joint)
+
+        apply = lambda param, upd: jax.tree_util.tree_map(
+            lambda a, b: a + b, param, upd)
+
+        new_params = {
+            "proposal_networks": apply(p["proposal_networks"], up_prop),
+            # vision fields get both the fields update and the audio_fields update
+            "fields": apply(apply(p["fields"], up_fields), up_audio["vision_fields"]),
+            "camera_opt": apply(p["camera_opt"], up_cam),
+            "audio": apply(p["audio"], up_audio["audio"]),
+        }
+
+        # BN stats update only while the audio branch is live
+        active_b = state.step > tcfg.start_step_audio
+        new_stats = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active_b, new, old),
+            aux["batch_stats"], state.batch_stats)
+
+        metrics = dict(aux["losses"])
+        metrics["total_loss"] = total
+
+        new_state = JointTrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_states={"proposal_networks": os_prop, "fields": os_fields,
+                        "camera_opt": os_cam, "audio_fields": os_audio},
+            grid=aux["grid"],
+            cursor=aux["cursor"],
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    def train_step(self, state, vision_arrays, audio_arrays, image_arrays):
+        return self._train_step(state, vision_arrays, audio_arrays, image_arrays)
+
+    # ------------------------------------------------------------------- eval
+    def _render_rays_eval_impl(self, params: dict, rays: dict):
+        return self.vision_model.forward(
+            self._vision_params(params), rays, jax.random.PRNGKey(0),
+            train=False, apply_cam_opt=False)
+
+    def render_image(self, state: JointTrainState, cam_arrays: dict,
+                     cam_index: int, height: int, width: int) -> dict:
+        """Render one full image in eval chunks (reference chunk 1<<15)."""
+        chunk = self.config.vision_model.eval_num_rays_per_chunk
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+        ys = ys.reshape(-1)
+        xs = xs.reshape(-1)
+        n = ys.shape[0]
+        pad = (-n) % chunk
+        ys = np.concatenate([ys, np.zeros(pad, np.int64)])
+        xs = np.concatenate([xs, np.zeros(pad, np.int64)])
+
+        out_chunks = []
+        for i in range(0, n + pad, chunk):
+            cam_idx = jnp.full((chunk,), cam_index, jnp.int32)
+            rays = generate_rays(cam_arrays, cam_idx,
+                                 jnp.asarray(xs[i:i + chunk]),
+                                 jnp.asarray(ys[i:i + chunk]))
+            out = self._render_rays_eval(state.params, rays)
+            out_chunks.append({k: np.asarray(out[k])
+                               for k in ("rgb", "depth", "accumulation")})
+
+        merged = {k: np.concatenate([c[k] for c in out_chunks])[:n]
+                  for k in out_chunks[0]}
+        return {
+            "rgb": merged["rgb"].reshape(height, width, 3),
+            "depth": merged["depth"].reshape(height, width),
+            "accumulation": merged["accumulation"].reshape(height, width),
+        }
+
+    def _grid_feature_eval_impl(self, params, batch_stats, grid):
+        feat, _ = self._grid_feature(params, batch_stats, grid, train=False)
+        return feat
+
+    def _render_rirs_impl(self, params, batch_stats, grid, mic, src, rot):
+        feat = self._grid_feature_eval_impl(params, batch_stats, grid)
+        return jax.vmap(
+            lambda m, s, r: self.audio_model.render_rir(
+                params["audio"]["field"], m, s, r, self.audio_aabb,
+                grid_feature=feat)
+        )(mic, src, rot)
+
+    def evaluate_vision(self, state: JointTrainState, cam_arrays: dict,
+                        images: np.ndarray) -> dict:
+        """All-eval-images sweep: PSNR/SSIM + throughput (fps, rays/sec)."""
+        n, H, W = images.shape[:3]
+        psnrs, ssims, times = [], [], []
+        for i in range(n):
+            t0 = time.perf_counter()
+            out = self.render_image(state, cam_arrays, i, H, W)
+            times.append(time.perf_counter() - t0)
+            pred = jnp.asarray(out["rgb"])
+            gt = jnp.asarray(images[i])
+            psnrs.append(float(psnr_fn(pred, gt)))
+            ssims.append(float(ssim_fn(pred, gt)))
+        dt = float(np.mean(times))
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "psnr_std": float(np.std(psnrs)),
+            "num_rays_per_sec": H * W / dt,
+            "fps": 1.0 / dt,
+        }
+
+    def evaluate_audio(self, state: JointTrainState, dataset,
+                       key: jax.Array | None = None) -> dict:
+        """All-eval-RIRs sweep with grid conditioning (eval-mode BN)."""
+        cfg = self.audio_model.config
+        o = dataset.outputs
+        n = len(o.audio_filenames)
+        if n == 0:
+            return {}
+        key = jax.random.PRNGKey(0) if key is None else key
+
+        t0 = time.perf_counter()
+        log_pred = self._render_rirs(
+            state.params, state.batch_stats, state.grid,
+            jnp.asarray(o.microphone_poses, jnp.float32),
+            jnp.asarray(o.source_poses, jnp.float32),
+            jnp.asarray(o.rotations, jnp.float32))
+        mag_pred = log_to_magnitude(log_pred)
+        mag_gt = log_to_magnitude(jnp.asarray(dataset.log_stft))
+        wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
+                               win_length=cfg.win_len, key=key)
+        wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
+                                   win_length=cfg.win_len, key=key)
+        wav_pred.block_until_ready()
+        render_time = time.perf_counter() - t0
+
+        evaluator = (RAFEvaluator(fs=cfg.fs) if cfg.dataset == "RAF"
+                     else SoundSpacesEvaluator(fs=cfg.fs))
+        log_pred_np = np.asarray(log_pred)
+        mag_pred_np = np.asarray(mag_pred)
+        mag_gt_np = np.asarray(mag_gt)
+        wav_pred_np = np.asarray(wav_pred)
+        wav_gt_istft_np = np.asarray(wav_gt_istft)
+
+        per_rir = []
+        for i in range(n):
+            wav_gt_ff = (dataset.waveforms[i] if dataset.waveforms is not None
+                         else wav_gt_istft_np[i])
+            per_rir.append(evaluator.get_full_metrics(
+                mag_pred_np[i], mag_gt_np[i], wav_gt_ff,
+                wav_pred_np[i], wav_gt_istft_np[i],
+                log_pred_np[i], np.asarray(dataset.log_stft[i])))
+
+        out = {}
+        for k in per_rir[0]:
+            vals = np.asarray([m[k] for m in per_rir], dtype=np.float64)
+            out[k] = float(np.mean(vals))
+            out[f"{k}_std"] = float(np.std(vals))
+        out["num_rays_per_sec_audio"] = n * cfg.max_len / render_time
+        out["fps_audio"] = n / render_time
+        return out

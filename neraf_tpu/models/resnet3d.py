@@ -1,0 +1,139 @@
+"""3D ResNet scene-grid encoder (flax, NDHWC).
+
+Rebuild of the reference's ResNet3D (NeRAF_resnet3d.py:116-286, adapted from
+pyramid-detection-3D): conv5^3/s2 -> BN/ReLU -> maxpool3/s2 -> bottleneck
+layers [3,4,6(,3)] -> AvgPool(8) -> a single (n_features,) scene descriptor
+for the 7x128^3 grid.
+
+TPU notes:
+- layout is NDHWC (channels-last) so conv3d lowers onto the MXU;
+- the reference runs train-mode BatchNorm3d on batch 1 (effectively instance
+  norm over D,H,W) while still tracking running stats used in eval — a
+  faithful quirk we reproduce via flax BatchNorm with a batch_stats
+  collection (SURVEY.md §7 "Batch-1 BatchNorm3d semantics");
+- Xavier-normal conv init matches the reference (:160-165).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_XAVIER = nn.initializers.xavier_normal()
+
+
+class Bottleneck3D(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       epsilon=1e-5, name=name)
+        residual = x
+        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False, kernel_init=_XAVIER,
+                      name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
+                      padding=1, use_bias=False, kernel_init=_XAVIER, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
+                      kernel_init=_XAVIER, name="conv3")(out)
+        out = bn("bn3")(out)
+
+        if self.downsample:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
+                               strides=(self.stride,) * 3, use_bias=False,
+                               kernel_init=_XAVIER, name="down_conv")(x)
+            residual = bn("down_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class BasicBlock3D(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                       epsilon=1e-5, name=name)
+        residual = x
+        out = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
+                      padding=1, use_bias=False, kernel_init=_XAVIER, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False,
+                      kernel_init=_XAVIER, name="conv2")(out)
+        out = bn("bn2")(out)
+        if self.downsample:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
+                               strides=(self.stride,) * 3, use_bias=False,
+                               kernel_init=_XAVIER, name="down_conv")(x)
+            residual = bn("down_bn")(residual)
+        return nn.relu(out + residual)
+
+
+_BACKBONES = {
+    "resnet18": (BasicBlock3D, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock3D, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck3D, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck3D, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck3D, (3, 8, 36, 3)),
+}
+
+
+class ResNet3D(nn.Module):
+    """Scene-grid encoder: (N, D, H, W, C_in) -> (N, feature_dim).
+
+    n_features in {1024, 2048} gates whether layer4 runs (reference
+    NeRAF_resnet3d.py:128-131). The actual output width depends on the block
+    type — the reference probes it at build time (NeRAF_model.py:186-188);
+    here `feature_dim` computes it statically.
+    """
+
+    backbone: str = "resnet50"
+    n_features: int = 1024
+    grid_step: float = 1.0 / 128.0
+
+    @property
+    def feature_dim(self) -> int:
+        block, _ = _BACKBONES[self.backbone]
+        planes = 512 if self.n_features == 2048 else 256
+        return planes * block.expansion
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.n_features in (1024, 2048), "N_features should be 1024 or 2048"
+        block, layers = _BACKBONES[self.backbone]
+
+        x = nn.Conv(64, (5, 5, 5), strides=(2, 2, 2), padding=2, use_bias=False,
+                    kernel_init=_XAVIER, name="conv1")(x)  # 128 -> 64
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)  # -> 32
+
+        def stage(x, planes, blocks, stride, name):
+            in_ch = x.shape[-1]
+            needs_down = stride != 1 or in_ch != planes * block.expansion
+            x = block(planes=planes, stride=stride, downsample=needs_down,
+                      name=f"{name}_0")(x, train)
+            for i in range(1, blocks):
+                x = block(planes=planes, name=f"{name}_{i}")(x, train)
+            return x
+
+        x = stage(x, 64, layers[0], 1, "layer1")   # 32
+        x = stage(x, 128, layers[1], 2, "layer2")  # 16
+        x = stage(x, 256, layers[2], 2, "layer3")  # 8
+        if self.n_features == 2048:
+            x = stage(x, 512, layers[3], 2, "layer4")  # 4
+
+        # AvgPool(k, stride 1) with k chosen so the output is 1^3
+        # (reference :135-155); valid padding over the full remaining volume.
+        pool = x.shape[1]
+        x = nn.avg_pool(x, (pool, pool, pool), strides=(1, 1, 1))
+        return x.reshape(x.shape[0], -1)

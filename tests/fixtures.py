@@ -53,6 +53,53 @@ def make_soundspaces_scene(root: Path, n_points: int = 4, n_train: int = 4,
     return scene
 
 
+def make_vision_scene(root: Path, n_frames: int = 4, size: int = 16, seed: int = 0,
+                      scene_dir: str | None = None) -> Path:
+    """Tiny Nerfstudio-format scene: transforms.json + PNG frames.
+
+    Cameras on a circle looking at the origin; images are simple gradients
+    (enough for shape/pipeline tests, not photometric convergence).
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    scene = root / (scene_dir or "vision_scene")
+    (scene / "images").mkdir(parents=True, exist_ok=True)
+
+    frames = []
+    for i in range(n_frames):
+        ang = 2 * np.pi * i / n_frames
+        pos = np.array([2 * np.cos(ang), 2 * np.sin(ang), 0.5])
+        # look-at origin (OpenGL: -z forward)
+        forward = -pos / np.linalg.norm(pos)
+        up0 = np.array([0.0, 0.0, 1.0])
+        right = np.cross(forward, up0)
+        right /= np.linalg.norm(right)
+        up = np.cross(right, forward)
+        c2w = np.eye(4)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = up
+        c2w[:3, 2] = -forward
+        c2w[:3, 3] = pos
+
+        img = (rng.random((size, size, 3)) * 0.2 + 0.4)
+        img[:, : size // 2] += 0.2
+        Image.fromarray((img * 255).clip(0, 255).astype(np.uint8)).save(
+            scene / "images" / f"frame_{i:03d}.png")
+
+        frames.append({
+            "file_path": f"images/frame_{i:03d}.png",
+            "transform_matrix": c2w.tolist(),
+            "fl_x": size * 1.2, "fl_y": size * 1.2,
+            "cx": size / 2, "cy": size / 2,
+            "w": size, "h": size,
+        })
+
+    with open(scene / "transforms.json", "w") as f:
+        json.dump({"frames": frames, "camera_model": "OPENCV"}, f)
+    return scene
+
+
 def make_raf_scene(root: Path, n_recordings: int = 4, fs: int = 48000, seed: int = 0) -> Path:
     """Tiny RAF-layout scene: data-split.json, rx/tx pose txts, rir wavs."""
     rng = np.random.default_rng(seed)

@@ -1,0 +1,154 @@
+"""Joint vision+audio pipeline: grid bake semantics + full train/eval smoke."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neraf_tpu.configs.config import (
+    AudioModelConfig,
+    ExperimentConfig,
+    VisionModelConfig,
+)
+from neraf_tpu.data.datasets import load_soundspaces_dataset
+from neraf_tpu.data.vision_data import camera_arrays, load_transforms
+from neraf_tpu.engine.pipeline import JointPipeline, JointTrainState
+from neraf_tpu.models.audio import AudioModel
+from neraf_tpu.models.grid import (
+    bake_cells,
+    cell_centers,
+    fixed_viewing_directions,
+    init_grid,
+)
+from neraf_tpu.models.vision import VisionModel
+
+from fixtures import make_soundspaces_scene, make_vision_scene
+
+
+def test_view_dirs_quirk():
+    dirs = np.asarray(fixed_viewing_directions())
+    assert dirs.shape == (18, 3)
+    # faithful reference quirk: x and y components identical
+    np.testing.assert_allclose(dirs[:, 0], dirs[:, 1])
+
+
+def test_grid_init_coords():
+    g = np.asarray(init_grid(8))
+    assert g.shape == (512, 7)
+    cells = cell_centers(8)
+    np.testing.assert_allclose(g[:, 4:], cells, atol=1e-6)
+    np.testing.assert_allclose(g[:, :4], 0.0)
+    # first cell center at step/2
+    np.testing.assert_allclose(cells[0], 1 / 16, atol=1e-6)
+
+
+def test_bake_cells_updates_and_wraps():
+    grid = init_grid(8)  # 512 cells
+    fresh = jnp.ones((128, 4)) * 0.5
+    g1, c1 = bake_cells(grid, jnp.int32(0), fresh)
+    np.testing.assert_allclose(np.asarray(g1[:128, :4]), 0.5)
+    np.testing.assert_allclose(np.asarray(g1[128:, :4]), 0.0)
+    np.testing.assert_allclose(np.asarray(g1[:, 4:]), np.asarray(grid[:, 4:]))
+    assert int(c1) == 128
+    # wrap after the last batch
+    _, c2 = bake_cells(grid, jnp.int32(384), fresh)
+    assert int(c2) == 0
+
+
+def test_bake_gradient_only_through_fresh():
+    grid = init_grid(8)
+
+    def f(theta):
+        fresh = jnp.ones((128, 4)) * theta
+        g, _ = bake_cells(grid, jnp.int32(0), fresh)
+        return jnp.sum(g)
+
+    g = float(jax.grad(f)(jnp.float32(1.0)))
+    np.testing.assert_allclose(g, 128 * 4, rtol=1e-6)
+
+
+def _make_pipeline(tmp_path, grid_res=8, start_audio=2):
+    vis_scene = make_vision_scene(tmp_path, n_frames=3, size=16)
+    aud_scene = make_soundspaces_scene(tmp_path, max_frames=12)
+
+    cfg = ExperimentConfig(dataset="SoundSpaces")
+    cfg.vision_model = VisionModelConfig(
+        num_levels=4, log2_hashmap_size=10, base_res=4, max_res=32,
+        hidden_dim=16, hidden_dim_color=16, geo_feat_dim=7,
+        appearance_embed_dim=4, num_nerf_samples=8,
+        num_proposal_samples=(16, 12), eval_num_rays_per_chunk=128)
+    cfg.audio_model = AudioModelConfig(
+        dataset="SoundSpaces", max_len=12, n_freq_stft=257, w_field=32,
+        n_features=1024, resnet_backbone="resnet18").resolve()
+    cfg.audio_data.batch_size = 32
+    cfg.vision_data.train_rays_per_batch = 64
+    cfg.trainer.start_step_audio = start_audio
+    cfg.trainer.grid_bake_cells_per_step = 128
+
+    vds = load_transforms(vis_scene, "train", eval_mode="filename")
+    ads = load_soundspaces_dataset(aud_scene, "train", max_len=12)
+    eval_ads = load_soundspaces_dataset(aud_scene, "test", max_len=12)
+
+    from neraf_tpu.models.resnet3d import ResNet3D
+
+    feat_dim = ResNet3D(backbone="resnet18", n_features=1024).feature_dim
+    vision_model = VisionModel(config=cfg.vision_model, num_cameras=len(vds.cameras),
+                               near=0.05, far=10.0)
+    audio_model = AudioModel(config=cfg.audio_model, grid_feature_dim=feat_dim)
+
+    pipe = JointPipeline(
+        config=cfg,
+        vision_model=vision_model,
+        audio_model=audio_model,
+        audio_aabb=jnp.asarray(ads.outputs.aabb, jnp.float32),
+        vision_aabb=jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]),
+        grid_res=grid_res,
+    )
+    return pipe, vds, ads, eval_ads
+
+
+def test_joint_train_and_eval_smoke(tmp_path):
+    pipe, vds, ads, eval_ads = _make_pipeline(tmp_path)
+    state = pipe.init_state()
+
+    cam_arrays = camera_arrays(vds.cameras)
+    image_arrays = {"images": jnp.asarray(vds.images)}
+    audio_arrays = ads.slice_arrays()
+
+    cursor0 = int(state.cursor)
+    for i in range(5):
+        state, metrics = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
+
+    assert int(state.step) == 5
+    assert int(state.cursor) == (cursor0 + 5 * 128) % (8**3)
+    for k in ("rgb_loss", "interlevel_loss", "distortion_loss",
+              "audio_sc_loss", "audio_mag_loss", "total_loss"):
+        assert k in metrics
+        assert np.isfinite(float(metrics[k])), k
+    # audio was active from step 3 on (step > 2), so its loss is nonzero
+    assert float(metrics["audio_mag_loss"]) != 0.0
+    # the grid got written
+    assert float(jnp.sum(jnp.abs(state.grid[:, :4]))) > 0
+
+    # vision eval
+    vres = pipe.evaluate_vision(state, cam_arrays, vds.images)
+    assert np.isfinite(vres["psnr"]) and 0 <= vres["ssim"] <= 1
+    assert vres["num_rays_per_sec"] > 0
+
+    # audio eval
+    ares = pipe.evaluate_audio(state, eval_ads)
+    assert "audio_T60_mean_error" in ares
+    assert np.isfinite(ares["audio_EDT"])
+    assert ares["fps_audio"] > 0
+
+
+def test_audio_masked_before_start(tmp_path):
+    pipe, vds, ads, _ = _make_pipeline(tmp_path, start_audio=100)
+    state = pipe.init_state()
+    cam_arrays = camera_arrays(vds.cameras)
+    image_arrays = {"images": jnp.asarray(vds.images)}
+    audio_arrays = ads.slice_arrays()
+    state, metrics = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
+    assert float(metrics["audio_sc_loss"]) == 0.0
+    assert float(metrics["audio_mag_loss"]) == 0.0
+    assert float(metrics["rgb_loss"]) > 0.0
