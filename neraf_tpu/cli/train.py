@@ -1,0 +1,108 @@
+"""neraf-train: the ns-train NeRAF equivalent.
+
+Usage:
+    neraf-train [--dataset RAF|SoundSpaces] [--scene NAME] --data-root DIR
+                [--max-iters N] [--load-dir CKPT_DIR] [--output-dir DIR]
+                [--audio-only] [--num-devices N]
+
+Env overrides (reference parity): NeRAF_dataset, NeRAF_scene.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neraf_tpu.configs.config import default_config
+from neraf_tpu.data.vision_data import camera_arrays
+from neraf_tpu.engine.factory import build_pipeline
+from neraf_tpu.engine.trainer import Trainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="neraf-train")
+    p.add_argument("--dataset", default=None, choices=["RAF", "SoundSpaces"])
+    p.add_argument("--scene", default=None)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--load-dir", default=None)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--audio-only", action="store_true",
+                   help="train the grid-free acoustic field only")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from neraf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = default_config(args.dataset, args.scene, data_root=args.data_root)
+    cfg.seed = args.seed
+    if args.output_dir:
+        cfg.output_dir = args.output_dir
+    if args.audio_only:
+        cfg.audio_model.use_grid = False
+
+    mesh = None
+    if args.num_devices is not None and args.num_devices > 1:
+        from neraf_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+
+    if args.audio_only:
+        from neraf_tpu.engine.audio_engine import AudioEngine
+        from neraf_tpu.engine.factory import load_audio_split
+        from neraf_tpu.models.audio import AudioModel
+
+        audio_train = load_audio_split(cfg, "train")
+        audio_eval = load_audio_split(cfg, "test")
+        model = AudioModel(config=cfg.audio_model)
+        engine = AudioEngine(config=cfg, model=model,
+                             aabb=jnp.asarray(audio_train.outputs.aabb, jnp.float32))
+        trainer = Trainer(config=cfg, pipeline=engine)
+        state = engine.init_state()
+        state, _ = trainer.maybe_resume(state, args.load_dir)
+        arrays = audio_train.slice_arrays()
+        state = trainer.train(
+            state,
+            step_fn=lambda s: engine.train_step(s, arrays),
+            eval_fns={"eval_audio": lambda s: engine.evaluate(s, audio_eval)},
+            max_steps=args.max_iters,
+        )
+        return
+
+    bundle = build_pipeline(cfg, mesh=mesh)
+    pipe = bundle.pipeline
+    trainer = Trainer(config=cfg, pipeline=pipe)
+
+    state = pipe.init_state()
+    state, _ = trainer.maybe_resume(state, args.load_dir)
+
+    cam_arrays = camera_arrays(bundle.vision_train.cameras)
+    image_arrays = {"images": jnp.asarray(bundle.vision_train.images)}
+    audio_arrays = bundle.audio_train.slice_arrays()
+
+    eval_cam_arrays = camera_arrays(bundle.vision_eval.cameras)
+    eval_fns = {
+        "eval_vision": lambda s: pipe.evaluate_vision(
+            s, eval_cam_arrays, bundle.vision_eval.images),
+        "eval_audio": lambda s: pipe.evaluate_audio(s, bundle.audio_eval),
+    }
+
+    state = trainer.train(
+        state,
+        step_fn=lambda s: pipe.train_step(s, cam_arrays, audio_arrays, image_arrays),
+        eval_fns=eval_fns,
+        max_steps=args.max_iters,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,13 +22,13 @@ import dataclasses
 from pathlib import Path
 
 import numpy as np
-from scipy.io import wavfile
 
 import jax.numpy as jnp
 
 from neraf_tpu.data.dataparsers import AudioParserOutputs, parse_raf, parse_soundspaces
 from neraf_tpu.dsp.resample import resample_poly
 from neraf_tpu.dsp.stft import stft_magnitude
+from neraf_tpu.utils.wav import read_wav as _read_wav
 
 
 @dataclasses.dataclass
@@ -58,20 +58,6 @@ class AudioSliceDataset:
             rot=jnp.asarray(o.rotations, dtype=jnp.float32),
             log_stft=jnp.asarray(self.log_stft),
         )
-
-
-def _read_wav(path: Path) -> tuple[int, np.ndarray]:
-    """Read a wav as float32 in [-1, 1], shape (n_samples,) or (n_samples, C)."""
-    sr, data = wavfile.read(path)
-    if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        data = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        data = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        data = data.astype(np.float32)
-    return sr, data
 
 
 def _pack_log_stft(mag: np.ndarray, max_len: int) -> np.ndarray:
@@ -177,7 +163,11 @@ def load_soundspaces_dataset(
             if wav.shape[1] == 0:
                 wav = np.zeros((2, int(fs * 0.5)), np.float32)
             if fs != 44100:
-                wav = np.asarray(resample_poly(jnp.asarray(wav), fs, 44100))
+                # host-side resample: wav lengths vary per file, and a jitted
+                # resampler would recompile per shape at load time
+                import scipy.signal
+
+                wav = scipy.signal.resample_poly(wav, fs, 44100, axis=-1).astype(np.float32)
             wavs.append(_fit_waveform(wav, max_len_time))
 
     F = logs[0].shape[1] if logs else 257

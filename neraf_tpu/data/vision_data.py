@@ -115,20 +115,24 @@ def load_transforms(
         poses3[:, :3, 3] *= scale
 
     # split selection
+    use_fraction = eval_mode != "filename"
     if eval_mode == "filename":
         is_train = np.array(["train" in str(f["file_path"]) for f in frames])
-        if not is_train.any():  # no filename markers: everything is train
-            is_train = np.ones(n, bool)
-        sel = is_train if split == "train" else ~is_train
-        idx = np.where(sel)[0]
-    else:  # fraction (nerfstudio eval_interval logic)
+        if is_train.any():
+            sel = is_train if split == "train" else ~is_train
+            idx = np.where(sel)[0]
+        else:  # no filename markers: fall back to fraction splitting
+            use_fraction = True
+    if use_fraction:  # fraction (nerfstudio eval_interval logic)
         num_train = int(np.ceil(n * train_split_fraction))
         all_idx = np.arange(n)
-        train_idx = np.linspace(0, n - 1, num_train, dtype=int)
+        train_idx = np.unique(np.linspace(0, n - 1, num_train, dtype=int))
         if split == "train":
             idx = train_idx
         else:
             idx = np.setdiff1d(all_idx, train_idx)
+            if idx.size == 0:  # tiny scenes: reuse the last train view
+                idx = train_idx[-1:]
 
     if downscale_factor > 1:
         fx, fy = fx / downscale_factor, fy / downscale_factor

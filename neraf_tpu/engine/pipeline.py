@@ -69,6 +69,7 @@ class JointPipeline:
     audio_aabb: jnp.ndarray  # (2,3) audio scene box
     vision_aabb: jnp.ndarray  # (2,3) vision scene box ([-1,1]^3)
     grid_res: int = 128
+    mesh: Any = None  # jax.sharding.Mesh for SPMD data parallelism (optional)
 
     def __post_init__(self):
         ocfg = self.config.optimizers
@@ -166,6 +167,15 @@ class JointPipeline:
             k_aud, audio_arrays, cfg.audio_data.batch_size,
             self.audio_model.config.max_len)
 
+        if self.mesh is not None:
+            # shard ray + STFT-slice batches over the data axis; params and
+            # the grid stay replicated, so XLA psums gradients over ICI.
+            from neraf_tpu.parallel.sharding import shard_pytree_batch
+
+            rays = shard_pytree_batch(rays, self.mesh)
+            gt_rgb = shard_pytree_batch(gt_rgb, self.mesh)
+            audio_batch = shard_pytree_batch(audio_batch, self.mesh)
+
         audio_active = (state.step > tcfg.start_step_audio).astype(jnp.float32)
 
         def loss_fn(params):
@@ -176,6 +186,11 @@ class JointPipeline:
 
             # grid bake (always; gradient flows through fresh cells)
             def query_fn(pos, dirs):
+                if self.mesh is not None:
+                    from neraf_tpu.parallel.sharding import shard_pytree_batch
+
+                    pos = shard_pytree_batch(pos, self.mesh)
+                    dirs = shard_pytree_batch(dirs, self.mesh)
                 return self.vision_model.query_density_rgb(
                     self._vision_params(params), pos, dirs)
 

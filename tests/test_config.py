@@ -1,0 +1,64 @@
+"""Config tree: per-dataset resolution, env overrides, YAML round-trip."""
+
+import dataclasses
+
+from neraf_tpu.configs.config import (
+    AudioModelConfig,
+    ExperimentConfig,
+    default_config,
+    load_config,
+    save_config,
+    SOUNDSPACES_MAX_LEN,
+)
+
+
+def test_raf_resolution():
+    cfg = AudioModelConfig(dataset="RAF").resolve()
+    assert cfg.fs == 48000
+    assert cfg.n_freq_stft == 513
+    assert cfg.hop_len == 256
+    assert cfg.max_len == 60  # int(0.32*48000)//256
+    assert cfg.mic_ch == 1
+    assert cfg.n_fft == 1024
+
+
+def test_soundspaces_resolution():
+    cfg = AudioModelConfig(dataset="SoundSpaces", max_len=78).resolve()
+    assert cfg.fs == 22050
+    assert cfg.mic_ch == 2
+    assert cfg.n_freq_stft == 257
+
+
+def test_default_config_env_override(monkeypatch):
+    monkeypatch.setenv("NeRAF_dataset", "SoundSpaces")
+    monkeypatch.setenv("NeRAF_scene", "room_2")
+    cfg = default_config()
+    assert cfg.dataset == "SoundSpaces"
+    assert cfg.scene == "room_2"
+    assert cfg.audio_model.max_len == SOUNDSPACES_MAX_LEN["room_2"]
+    assert cfg.experiment_name == "room_2_NeRAF"
+    assert cfg.optimizers.audio_fields.warmup_steps == cfg.trainer.start_step_audio
+
+
+def test_default_config_raf(monkeypatch):
+    monkeypatch.delenv("NeRAF_dataset", raising=False)
+    monkeypatch.delenv("NeRAF_scene", raising=False)
+    cfg = default_config("RAF", "FurnishedRoom", data_root="/data/RAF")
+    assert cfg.audio_model.max_len == 60
+    assert cfg.vision_data.eval_mode == "fraction"
+    assert cfg.audio_data.data_dir.endswith("FurnishedRoom")
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = default_config("SoundSpaces", "office_4", data_root="/data/SS")
+    cfg.trainer.max_num_iterations = 1234
+    cfg.optimizers.audio_fields.lr = 3e-4
+    cfg.vision_model.num_proposal_samples = (128, 48)
+
+    path = tmp_path / "config.yml"
+    save_config(cfg, path)
+    loaded = load_config(path)
+
+    assert loaded == cfg
+    assert isinstance(loaded.vision_model.num_proposal_samples, tuple)
+    assert loaded.optimizers.audio_fields.lr == 3e-4
