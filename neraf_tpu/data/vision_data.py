@@ -166,12 +166,40 @@ def load_transforms(
 # ---------------------------------------------------------------------------
 
 def camera_arrays(cams: CameraSet) -> dict:
-    """Pack cameras into device arrays for jitted ray generation."""
-    return dict(
+    """Pack cameras into device arrays for jitted ray generation.
+
+    The OPENCV distortion parameters are included only when some camera has
+    nonzero distortion — key presence is static under jit, so distortion-free
+    scenes compile without the undistortion iterations.
+    """
+    arrays = dict(
         c2w=jnp.asarray(cams.c2w),
         fx=jnp.asarray(cams.fx), fy=jnp.asarray(cams.fy),
         cx=jnp.asarray(cams.cx), cy=jnp.asarray(cams.cy),
     )
+    if np.any(cams.distortion != 0):
+        arrays["distortion"] = jnp.asarray(cams.distortion)
+    return arrays
+
+
+def _undistort(x: jnp.ndarray, y: jnp.ndarray, d: jnp.ndarray,
+               iters: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Invert the OPENCV distortion model by fixed-point iteration.
+
+    d: (B, 6) = (k1, k2, k3, k4, p1, p2). Matches nerfstudio's
+    radial_and_tangential_undistort semantics within float tolerance.
+    """
+    k1, k2, k3, k4 = d[:, 0], d[:, 1], d[:, 2], d[:, 3]
+    p1, p2 = d[:, 4], d[:, 5]
+    xu, yu = x, y
+    for _ in range(iters):
+        r2 = xu * xu + yu * yu
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        dx_t = 2.0 * p1 * xu * yu + p2 * (r2 + 2.0 * xu * xu)
+        dy_t = p1 * (r2 + 2.0 * yu * yu) + 2.0 * p2 * xu * yu
+        xu = (x - dx_t) / radial
+        yu = (y - dy_t) / radial
+    return xu, yu
 
 
 def generate_rays(cam_arrays: dict, cam_idx: jnp.ndarray, px: jnp.ndarray,
@@ -192,6 +220,8 @@ def generate_rays(cam_arrays: dict, cam_idx: jnp.ndarray, px: jnp.ndarray,
     # pixel center convention (+0.5)
     x = (px.astype(jnp.float32) + 0.5 - cx) / fx
     y = (py.astype(jnp.float32) + 0.5 - cy) / fy
+    if "distortion" in cam_arrays:
+        x, y = _undistort(x, y, cam_arrays["distortion"][cam_idx])
     dirs_cam = jnp.stack([x, -y, -jnp.ones_like(x)], axis=-1)
 
     dirs_world = jnp.einsum("bij,bj->bi", c2w[:, :3, :3], dirs_cam)

@@ -268,6 +268,123 @@ class JointPipeline:
         return self._train_step(state, vision_arrays, audio_arrays, image_arrays)
 
     # ------------------------------------------------------------------- eval
+    def eval_loss_dict(self, state: JointTrainState, vision_arrays: dict,
+                       audio_arrays: dict, image_arrays: dict,
+                       key: jax.Array | None = None) -> dict:
+        """One eval batch of rays + STFT slices -> loss/metric dict.
+
+        The get_eval_loss_dict analogue (reference NeRAF_pipeline.py:232-259):
+        same losses as training but deterministic sampling and, unlike the
+        train step, the quick audio metrics are computed.
+        """
+        cfg = self.config
+        key = jax.random.PRNGKey(0) if key is None else key
+        k_pix, k_aud, k_render = jax.random.split(key, 3)
+
+        n_cams = image_arrays["images"].shape[0]
+        H, W = image_arrays["images"].shape[1:3]
+        cam, py, px = sample_pixel_batch(
+            k_pix, n_cams, H, W, cfg.vision_data.eval_rays_per_batch)
+        rays = generate_rays(vision_arrays, cam, px, py)
+        gt_rgb = image_arrays["images"][cam, py, px]
+
+        vout = self.vision_model.forward(
+            self._vision_params(state.params), rays, k_render, train=False,
+            apply_cam_opt=False)
+        losses = self.vision_model.loss(vout, gt_rgb)
+
+        audio_batch = sample_audio_batch(
+            k_aud, audio_arrays, cfg.audio_data.batch_size,
+            self.audio_model.config.max_len)
+        feat, _ = self._grid_feature(state.params, state.batch_stats,
+                                     state.grid, train=False)
+        aout = self.audio_model.apply(
+            state.params["audio"]["field"], audio_batch, self.audio_aabb,
+            grid_feature=feat)
+        losses.update(self.audio_model.loss(aout, audio_batch["data"]))
+
+        from neraf_tpu.dsp.stft import log_to_magnitude
+
+        evaluator = (RAFEvaluator(fs=self.audio_model.config.fs)
+                     if self.audio_model.config.dataset == "RAF"
+                     else SoundSpacesEvaluator(fs=self.audio_model.config.fs))
+        quick = evaluator.get_stft_metrics(
+            np.asarray(log_to_magnitude(aout)),
+            np.asarray(log_to_magnitude(audio_batch["data"])))
+        out = {k: float(np.asarray(v)) for k, v in losses.items()}
+        out.update(quick)
+        return out
+
+    def eval_image(self, state: JointTrainState, cam_arrays: dict,
+                   cam_index: int, gt_image: np.ndarray,
+                   eval_audio_item: dict | None = None) -> tuple[dict, dict]:
+        """Single eval view (+ optional single RIR) -> metrics and images.
+
+        The get_eval_image_metrics_and_images analogue
+        (reference NeRAF_pipeline.py:261-289): renders one camera, computes
+        PSNR/SSIM, and if an eval audio item is given renders its full RIR
+        and builds the STFT comparison panels.
+        """
+        H, W = gt_image.shape[:2]
+        out = self.render_image(state, cam_arrays, cam_index, H, W)
+        metrics = {
+            "psnr": float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(gt_image))),
+            "ssim": float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(gt_image))),
+            "num_rays": H * W,
+        }
+        images = {"img": out["rgb"], "depth": out["depth"],
+                  "accumulation": out["accumulation"]}
+
+        if eval_audio_item is not None:
+            log_pred = self._render_rirs(
+                state.params, state.batch_stats, state.grid,
+                jnp.asarray(eval_audio_item["mic_pose"], jnp.float32)[None],
+                jnp.asarray(eval_audio_item["source_pose"], jnp.float32)[None],
+                jnp.asarray(eval_audio_item["rot"], jnp.float32)[None])[0]
+            from neraf_tpu.viz.panels import grid_top_view, stft_comparison_panel
+
+            log_pred_np = np.asarray(log_pred)
+            gt_np = np.asarray(eval_audio_item["data"])
+            for ch in range(log_pred_np.shape[0]):
+                images[f"comparison_ch_{ch}"] = stft_comparison_panel(
+                    log_pred_np[ch], gt_np[ch])
+            tv = grid_top_view(np.asarray(state.grid), self.grid_res)
+            images["grid"] = tv["color"]
+            images["grid_density"] = tv["density"]
+            metrics["audio_mag"] = float(np.mean(
+                (np.exp(log_pred_np) - np.exp(gt_np)) ** 2) * 2)
+        return metrics, images
+
+    def query_grid_full(self, state: JointTrainState,
+                        batch_size: int = 4096) -> jnp.ndarray:
+        """Refresh the ENTIRE grid from the radiance field (no gradients).
+
+        The reference's debug-only query_grid (NeRAF_model.py:409-480). Runs
+        the bake cursor over all cells in one lax.scan under jit.
+        """
+        n_cells = self.cells.shape[0]
+        assert n_cells % batch_size == 0
+
+        @jax.jit
+        def full_bake(params, grid):
+            def query_fn(pos, dirs):
+                return self.vision_model.query_density_rgb(
+                    self._vision_params(params), pos, dirs)
+
+            def body(carry, cursor):
+                g = carry
+                fresh = compute_fresh_cells(
+                    query_fn, cursor, self.cells, self.vision_aabb,
+                    batch_size, self.view_dirs)
+                g, _ = bake_cells(g, cursor, fresh)
+                return g, None
+
+            cursors = jnp.arange(0, n_cells, batch_size)
+            g, _ = jax.lax.scan(body, grid, cursors)
+            return g
+
+        return full_bake(jax.lax.stop_gradient(state.params), state.grid)
+
     def _render_rays_eval_impl(self, params: dict, rays: dict):
         return self.vision_model.forward(
             self._vision_params(params), rays, jax.random.PRNGKey(0),

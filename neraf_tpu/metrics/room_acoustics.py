@@ -149,6 +149,37 @@ def evaluate_clarity(pred_ir: np.ndarray, gt_ir: np.ndarray, fs: float) -> tuple
     return np.array(gt), np.array(pred)
 
 
+def envelope_distance(predicted: np.ndarray, gt: np.ndarray) -> float:
+    """Summed per-channel RMS distance between Hilbert envelopes
+    (reference NeRAF_helper.py:79-87)."""
+    from neraf_tpu.dsp.filters import hilbert_envelope
+
+    ch = predicted.shape[0]
+    total = 0.0
+    for c in range(ch):
+        pred_env = np.asarray(hilbert_envelope(jnp.asarray(predicted[c])))
+        gt_env = np.asarray(hilbert_envelope(jnp.asarray(gt[c])))
+        total += float(np.sqrt(np.mean((gt_env - pred_env) ** 2)))
+    return float(total)
+
+
+def snr(predicted: np.ndarray, gt: np.ndarray) -> float:
+    """10 log10((E[gt^2]+1e-4)/(MSE+1e-4)) (reference NeRAF_helper.py:89-92)."""
+    mse = np.mean((predicted - gt) ** 2)
+    return float(10.0 * np.log10((np.mean(gt**2) + 1e-4) / (mse + 1e-4)))
+
+
+def magnitude_distance(predicted_mag: np.ndarray, gt_mag: np.ndarray) -> float:
+    """Summed per-channel MSE between magnitude STFTs (NeRAF_helper.py:97-102)."""
+    ch = predicted_mag.shape[0]
+    return float(sum(np.mean((predicted_mag[c] - gt_mag[c]) ** 2) for c in range(ch)))
+
+
+def normalize_signal(samples: np.ndarray) -> np.ndarray:
+    """Peak-normalize (reference NeRAF_helper.py:94-95)."""
+    return samples / np.maximum(1e-20, np.max(np.abs(samples)))
+
+
 # ---------------------------------------------------------------------------
 # Device-side batched estimators (TPU fast path)
 # ---------------------------------------------------------------------------

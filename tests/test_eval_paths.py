@@ -1,0 +1,70 @@
+"""Pipeline eval-batch / eval-image / full-grid-query paths + helper metrics."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from neraf_tpu.data.vision_data import camera_arrays
+from neraf_tpu.metrics.room_acoustics import (
+    envelope_distance,
+    magnitude_distance,
+    normalize_signal,
+    snr,
+)
+
+from fixtures import make_soundspaces_scene, make_vision_scene
+from test_joint_pipeline import _make_pipeline
+
+
+def test_helper_metrics():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2, 500)).astype(np.float32)
+    b = rng.standard_normal((2, 500)).astype(np.float32)
+    assert envelope_distance(a, a) < 1e-5
+    assert envelope_distance(a, b) > 0
+    # identical signals: SNR caps near 10*log10(E/1e-4) ~= 40 dB for
+    # unit-variance inputs (the reference's +1e-4 regularizers)
+    assert snr(a, a) > 35
+    assert magnitude_distance(np.abs(a), np.abs(a)) == 0.0
+    n = normalize_signal(a)
+    np.testing.assert_allclose(np.max(np.abs(n)), 1.0, rtol=1e-6)
+
+
+def test_eval_loss_dict_and_image(tmp_path):
+    pipe, vds, ads, eval_ads = _make_pipeline(tmp_path)
+    state = pipe.init_state()
+    cam_arrays = camera_arrays(vds.cameras)
+    image_arrays = {"images": jnp.asarray(vds.images)}
+    audio_arrays = ads.slice_arrays()
+
+    losses = pipe.eval_loss_dict(state, cam_arrays, audio_arrays, image_arrays)
+    for k in ("rgb_loss", "audio_sc_loss", "audio_mag_loss", "audio_mag"):
+        assert k in losses and np.isfinite(losses[k]), k
+
+    o = eval_ads.outputs
+    item = {
+        "mic_pose": o.microphone_poses[0],
+        "source_pose": o.source_poses[0],
+        "rot": o.rotations[0],
+        "data": eval_ads.log_stft[0],
+    }
+    metrics, images = pipe.eval_image(state, cam_arrays, 0, vds.images[0],
+                                      eval_audio_item=item)
+    assert np.isfinite(metrics["psnr"])
+    assert "comparison_ch_0" in images and "comparison_ch_1" in images
+    assert images["grid"].shape == (8, 8, 3)
+    F, T = eval_ads.log_stft.shape[2:]
+    assert images["comparison_ch_0"].shape == (F, 2 * T, 3)
+
+
+def test_query_grid_full(tmp_path):
+    pipe, vds, ads, _ = _make_pipeline(tmp_path)
+    state = pipe.init_state()
+    grid = pipe.query_grid_full(state, batch_size=64)
+    g = np.asarray(grid)
+    assert g.shape == (8**3, 7)
+    # every cell visited: alpha channel populated (density >= 0 -> alpha >= 0,
+    # and the color channels reflect the sigmoid field output, not zeros)
+    assert np.abs(g[:, :3]).sum() > 0
+    # coords untouched
+    np.testing.assert_allclose(g[:, 4:], np.asarray(pipe.cells), atol=1e-6)
