@@ -90,16 +90,28 @@ def main(argv=None):
     audio_arrays = bundle.audio_train.slice_arrays()
 
     eval_cam_arrays = camera_arrays(bundle.vision_eval.cameras)
+    eval_image_arrays = {"images": jnp.asarray(bundle.vision_eval.images)}
     eval_fns = {
         "eval_vision": lambda s: pipe.evaluate_vision(
             s, eval_cam_arrays, bundle.vision_eval.images),
         "eval_audio": lambda s: pipe.evaluate_audio(s, bundle.audio_eval),
     }
 
+    n_eval = len(bundle.vision_eval.cameras)
+
+    def eval_image_fn(s, step):
+        idx = (step // cfg.trainer.steps_per_eval_image - 1) % n_eval
+        metrics, _ = pipe.eval_image(s, eval_cam_arrays, idx,
+                                     bundle.vision_eval.images[idx])
+        return metrics
+
     state = trainer.train(
         state,
         step_fn=lambda s: pipe.train_step(s, cam_arrays, audio_arrays, image_arrays),
         eval_fns=eval_fns,
+        eval_batch_fn=lambda s: pipe.eval_loss_dict(
+            s, eval_cam_arrays, audio_arrays, eval_image_arrays),
+        eval_image_fn=eval_image_fn,
         max_steps=args.max_iters,
     )
 

@@ -67,9 +67,14 @@ def build_pipeline(cfg: ExperimentConfig, mesh=None, with_vision: bool = True,
     feat_dim = ResNet3D(backbone=acfg.resnet_backbone,
                         n_features=acfg.n_features).feature_dim
 
-    vision_model = VisionModel(config=cfg.vision_model, num_cameras=num_cameras)
+    import jax.numpy as jnp
+
+    cdtype = jnp.bfloat16 if cfg.trainer.mixed_precision else jnp.float32
+    vision_model = VisionModel(config=cfg.vision_model, num_cameras=num_cameras,
+                               compute_dtype=cdtype)
     audio_model = AudioModel(
-        config=acfg, grid_feature_dim=feat_dim if acfg.use_grid else 0)
+        config=acfg, grid_feature_dim=feat_dim if acfg.use_grid else 0,
+        compute_dtype=cdtype)
 
     grid_res = int(round(1.0 / acfg.grid_step))
     pipeline = JointPipeline(

@@ -78,9 +78,12 @@ class JointPipeline:
         self.opt_cam = make_optimizer(ocfg.camera_opt)
         self.opt_audio = make_optimizer(ocfg.audio_fields)
 
+        cdtype = (jnp.bfloat16 if self.config.trainer.mixed_precision
+                  else jnp.float32)
         self.resnet = ResNet3D(backbone=self.config.audio_model.resnet_backbone,
                                n_features=self.config.audio_model.n_features,
-                               grid_step=self.config.audio_model.grid_step)
+                               grid_step=self.config.audio_model.grid_step,
+                               dtype=cdtype)
         self.view_dirs = fixed_viewing_directions()
         import neraf_tpu.models.grid as grid_mod
 
@@ -178,10 +181,22 @@ class JointPipeline:
 
         audio_active = (state.step > tcfg.start_step_audio).astype(jnp.float32)
 
+        # proposal-weights annealing (nerfacto: bias(t, 10) over the first
+        # 1000 steps) — sharpens the PDF gradually so early proposals stay broad
+        train_frac = jnp.clip(state.step.astype(jnp.float32) / 1000.0, 0.0, 1.0)
+        slope = 10.0
+        anneal = slope * train_frac / ((slope - 1.0) * train_frac + 1.0)
+
+        # Mixed precision note: the models' MLP/conv layers carry a flax
+        # `dtype` (bf16 when trainer.mixed_precision) — encodings and losses
+        # stay fp32, each Dense/Conv casts to bf16 internally. TPU-native AMP
+        # needs no grad scaler (bf16 shares fp32's exponent range; the
+        # reference uses a torch GradScaler instead, NeRAF_pipeline.py:93).
         def loss_fn(params):
             # vision forward
             vout = self.vision_model.forward(
-                self._vision_params(params), rays, k_render, train=True)
+                self._vision_params(params), rays, k_render, train=True,
+                anneal=anneal)
             losses = self.vision_model.loss(vout, gt_rgb)
 
             # grid bake (always; gradient flows through fresh cells)
@@ -204,8 +219,9 @@ class JointPipeline:
                 params, state.batch_stats, new_grid, train=True)
             aout = self.audio_model.apply(
                 params["audio"]["field"], audio_batch, self.audio_aabb,
-                grid_feature=feat)
-            audio_losses = self.audio_model.loss(aout, audio_batch["data"])
+                grid_feature=feat.astype(jnp.float32))
+            audio_losses = self.audio_model.loss(
+                aout.astype(jnp.float32), audio_batch["data"])
             for k, v in audio_losses.items():
                 losses[k] = v * audio_active
 

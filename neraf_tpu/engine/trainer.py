@@ -58,10 +58,18 @@ class Trainer:
         state,
         step_fn: Callable[[Any], tuple[Any, dict]],
         eval_fns: dict[str, Callable[[Any], dict]] | None = None,
+        eval_batch_fn: Callable[[Any], dict] | None = None,
+        eval_image_fn: Callable[[Any, int], dict] | None = None,
         max_steps: int | None = None,
         on_metrics: Callable[[int, dict], None] | None = None,
     ):
-        """Run the loop. step_fn(state) -> (state, metrics)."""
+        """Run the loop. step_fn(state) -> (state, metrics).
+
+        Cadences mirror the reference TrainerConfig (NeRAF_config.py:73-76):
+        eval_batch_fn at steps_per_eval_batch, eval_image_fn at
+        steps_per_eval_image, eval_fns (the full sweeps) at
+        steps_per_eval_all_images, checkpoints at steps_per_save.
+        """
         tcfg = self.config.trainer
         max_steps = tcfg.max_num_iterations if max_steps is None else max_steps
         eval_fns = eval_fns or {}
@@ -80,6 +88,14 @@ class Trainer:
                 self.writer.write_scalars(step + 1, scalars, prefix="train")
                 if on_metrics is not None:
                     on_metrics(step + 1, scalars)
+
+            if eval_batch_fn is not None and (step + 1) % tcfg.steps_per_eval_batch == 0:
+                self.writer.write_scalars(step + 1, eval_batch_fn(state),
+                                          prefix="eval_batch")
+
+            if eval_image_fn is not None and (step + 1) % tcfg.steps_per_eval_image == 0:
+                self.writer.write_scalars(step + 1, eval_image_fn(state, step + 1),
+                                          prefix="eval_image")
 
             if (step + 1) % tcfg.steps_per_eval_all_images == 0:
                 for name, fn in eval_fns.items():

@@ -32,19 +32,21 @@ class AcousticSoundField(nn.Module):
     sound_rez: int = 2
     n_frequencies: int = 257
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 under mixed precision)
 
     @nn.compact
     def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
         """h: (B, in_size) encoded query -> (B, sound_rez, n_frequencies) log-mags."""
         widths = (5096, 2048, 1024, 1024, self.hidden_w)
         for i, w in enumerate(widths):
-            h = nn.Dense(w, name=f"trunk_{i}", param_dtype=self.param_dtype)(h)
+            h = nn.Dense(w, name=f"trunk_{i}", param_dtype=self.param_dtype,
+                         dtype=self.dtype)(h)
             h = nn.leaky_relu(h, negative_slope=0.1)
 
         feat = h
         outs = []
         for ch in range(self.sound_rez):
             o = nn.Dense(self.n_frequencies, name=f"stft_head_{ch}",
-                         param_dtype=self.param_dtype)(feat)
+                         param_dtype=self.param_dtype, dtype=self.dtype)(feat)
             outs.append(jnp.tanh(o) * 10.0)
         return jnp.stack(outs, axis=-2)

@@ -61,20 +61,29 @@ class NerfactoField(nn.Module):
 
     config: VisionModelConfig
     num_cameras: int = 1
+    dtype: jnp.dtype = jnp.float32  # compute dtype for the MLPs
 
     def setup(self):
         cfg = self.config
-        self.hash = HashTable(HashGridSpec(
-            num_levels=cfg.num_levels,
-            features_per_level=cfg.features_per_level,
-            log2_hashmap_size=cfg.log2_hashmap_size,
-            base_res=cfg.base_res,
-            max_res=cfg.max_res,
-        ))
-        self.mlp_base = [nn.Dense(cfg.hidden_dim, name=f"base_{i}") for i in range(2)]
-        self.base_out = nn.Dense(1 + cfg.geo_feat_dim, name="base_out")
-        self.mlp_head = [nn.Dense(cfg.hidden_dim_color, name=f"head_{i}") for i in range(3)]
-        self.head_out = nn.Dense(3, name="head_out")
+        if cfg.encoding == "hash":
+            self.hash = HashTable(HashGridSpec(
+                num_levels=cfg.num_levels,
+                features_per_level=cfg.features_per_level,
+                log2_hashmap_size=cfg.log2_hashmap_size,
+                base_res=cfg.base_res,
+                max_res=cfg.max_res,
+            ))
+            base_layers = 2
+            base_width = cfg.hidden_dim
+        else:  # fourier: deeper/wider base MLP carries the capacity
+            base_layers = cfg.base_mlp_layers
+            base_width = cfg.base_mlp_width
+        self.mlp_base = [nn.Dense(base_width, name=f"base_{i}", dtype=self.dtype)
+                         for i in range(base_layers)]
+        self.base_out = nn.Dense(1 + cfg.geo_feat_dim, name="base_out", dtype=self.dtype)
+        self.mlp_head = [nn.Dense(cfg.hidden_dim_color, name=f"head_{i}", dtype=self.dtype)
+                         for i in range(3)]
+        self.head_out = nn.Dense(3, name="head_out", dtype=self.dtype)
         self.appearance = nn.Embed(self.num_cameras, cfg.appearance_embed_dim,
                                    name="appearance")
 
@@ -92,12 +101,18 @@ class NerfactoField(nn.Module):
         else:
             x = (positions + 1.0) / 2.0  # scene box [-1, 1]^3
             selector = jnp.all((x > 0.0) & (x < 1.0), axis=-1)
-        h = self.hash(x)
+        if self.config.encoding == "hash":
+            h = self.hash(x)
+        else:
+            from neraf_tpu.ops.encodings import nerf_encoding
+
+            h = nerf_encoding(x, num_frequencies=self.config.num_frequencies)
         for layer in self.mlp_base:
             h = nn.relu(layer(h))
         h = self.base_out(h)
         density_raw, geo = h[..., :1], h[..., 1:]
-        density = self.config.average_init_density * trunc_exp(density_raw)
+        density = self.config.average_init_density * trunc_exp(
+            density_raw.astype(jnp.float32))
         if selector is not None:
             density = density * selector[..., None]
         return density, geo
@@ -128,6 +143,12 @@ class NerfactoField(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class ProposalFieldSpec:
+    encoding: str = "fourier"  # "fourier" | "hash"
+    # fourier
+    num_frequencies: int = 6
+    mlp_width: int = 128
+    mlp_layers: int = 2
+    # hash
     num_levels: int = 5
     max_res: int = 128
     base_res: int = 16
@@ -137,21 +158,35 @@ class ProposalFieldSpec:
 
 
 class ProposalDensityField(nn.Module):
-    """Small density-only field for hierarchical sampling (HashMLPDensityField)."""
+    """Small density-only field for hierarchical sampling.
+
+    'hash' mirrors nerfstudio's HashMLPDensityField; 'fourier' is the
+    mip-NeRF-360-style PE+MLP proposal — the MXU-native default here (the
+    proposal stages evaluate ~1.4M points per step, where gathers are the
+    measured bottleneck on this backend).
+    """
 
     spec: ProposalFieldSpec
     average_init_density: float = 0.01
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray, contract: bool = True) -> jnp.ndarray:
         x = contract_to_unit(positions) if contract else positions
-        h = HashTable(HashGridSpec(
-            num_levels=self.spec.num_levels,
-            features_per_level=self.spec.features_per_level,
-            log2_hashmap_size=self.spec.log2_hashmap_size,
-            base_res=self.spec.base_res,
-            max_res=self.spec.max_res,
-        ))(x)
-        h = nn.relu(nn.Dense(self.spec.hidden_dim)(h))
-        h = nn.Dense(1)(h)
-        return self.average_init_density * trunc_exp(h[..., 0])
+        if self.spec.encoding == "hash":
+            h = HashTable(HashGridSpec(
+                num_levels=self.spec.num_levels,
+                features_per_level=self.spec.features_per_level,
+                log2_hashmap_size=self.spec.log2_hashmap_size,
+                base_res=self.spec.base_res,
+                max_res=self.spec.max_res,
+            ))(x)
+            h = nn.relu(nn.Dense(self.spec.hidden_dim, dtype=self.dtype)(h))
+        else:
+            from neraf_tpu.ops.encodings import nerf_encoding
+
+            h = nerf_encoding(x, num_frequencies=self.spec.num_frequencies)
+            for _ in range(self.spec.mlp_layers):
+                h = nn.relu(nn.Dense(self.spec.mlp_width, dtype=self.dtype)(h))
+        h = nn.Dense(1, dtype=self.dtype)(h)
+        return self.average_init_density * trunc_exp(h[..., 0].astype(jnp.float32))

@@ -81,6 +81,7 @@ class AudioModel:
 
     config: AudioModelConfig
     grid_feature_dim: int = 0  # 0 when use_grid=False
+    compute_dtype: Any = jnp.float32  # bf16 under mixed precision
 
     @property
     def field(self) -> AcousticSoundField:
@@ -88,6 +89,7 @@ class AudioModel:
             hidden_w=self.config.w_field,
             sound_rez=self.config.mic_ch,
             n_frequencies=self.config.n_freq_stft,
+            dtype=self.compute_dtype,
         )
 
     @property

@@ -21,6 +21,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from typing import Any
+
 _XAVIER = nn.initializers.xavier_normal()
 
 
@@ -29,26 +31,26 @@ class Bottleneck3D(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                       epsilon=1e-5, name=name)
+                                       epsilon=1e-5, name=name, dtype=self.dtype)
+        conv = lambda ch, k, name, stride=1: nn.Conv(
+            ch, k, strides=(stride,) * 3, padding=(k[0] - 1) // 2, use_bias=False,
+            kernel_init=_XAVIER, name=name, dtype=self.dtype)
         residual = x
-        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False, kernel_init=_XAVIER,
-                      name="conv1")(x)
+        out = conv(self.planes, (1, 1, 1), "conv1")(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
-                      padding=1, use_bias=False, kernel_init=_XAVIER, name="conv2")(out)
+        out = conv(self.planes, (3, 3, 3), "conv2", self.stride)(out)
         out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
-                      kernel_init=_XAVIER, name="conv3")(out)
+        out = conv(self.planes * self.expansion, (1, 1, 1), "conv3")(out)
         out = bn("bn3")(out)
 
         if self.downsample:
-            residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
-                               strides=(self.stride,) * 3, use_bias=False,
-                               kernel_init=_XAVIER, name="down_conv")(x)
+            residual = conv(self.planes * self.expansion, (1, 1, 1), "down_conv",
+                            self.stride)(x)
             residual = bn("down_bn")(residual)
         return nn.relu(out + residual)
 
@@ -58,22 +60,25 @@ class BasicBlock3D(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                       epsilon=1e-5, name=name)
+                                       epsilon=1e-5, name=name, dtype=self.dtype)
         residual = x
         out = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
-                      padding=1, use_bias=False, kernel_init=_XAVIER, name="conv1")(x)
+                      padding=1, use_bias=False, kernel_init=_XAVIER, name="conv1",
+                      dtype=self.dtype)(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False,
-                      kernel_init=_XAVIER, name="conv2")(out)
+                      kernel_init=_XAVIER, name="conv2", dtype=self.dtype)(out)
         out = bn("bn2")(out)
         if self.downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
                                strides=(self.stride,) * 3, use_bias=False,
-                               kernel_init=_XAVIER, name="down_conv")(x)
+                               kernel_init=_XAVIER, name="down_conv",
+                               dtype=self.dtype)(x)
             residual = bn("down_bn")(residual)
         return nn.relu(out + residual)
 
@@ -99,6 +104,7 @@ class ResNet3D(nn.Module):
     backbone: str = "resnet50"
     n_features: int = 1024
     grid_step: float = 1.0 / 128.0
+    dtype: Any = jnp.float32  # compute dtype for convs/BN (bf16 under AMP)
 
     @property
     def feature_dim(self) -> int:
@@ -112,18 +118,18 @@ class ResNet3D(nn.Module):
         block, layers = _BACKBONES[self.backbone]
 
         x = nn.Conv(64, (5, 5, 5), strides=(2, 2, 2), padding=2, use_bias=False,
-                    kernel_init=_XAVIER, name="conv1")(x)  # 128 -> 64
+                    kernel_init=_XAVIER, name="conv1", dtype=self.dtype)(x)  # 128 -> 64
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name="bn1")(x))
+                                 epsilon=1e-5, name="bn1", dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)  # -> 32
 
         def stage(x, planes, blocks, stride, name):
             in_ch = x.shape[-1]
             needs_down = stride != 1 or in_ch != planes * block.expansion
             x = block(planes=planes, stride=stride, downsample=needs_down,
-                      name=f"{name}_0")(x, train)
+                      name=f"{name}_0", dtype=self.dtype)(x, train)
             for i in range(1, blocks):
-                x = block(planes=planes, name=f"{name}_{i}")(x, train)
+                x = block(planes=planes, name=f"{name}_{i}", dtype=self.dtype)(x, train)
             return x
 
         x = stage(x, 64, layers[0], 1, "layer1")   # 32
@@ -136,4 +142,4 @@ class ResNet3D(nn.Module):
         # (reference :135-155); valid padding over the full remaining volume.
         pool = x.shape[1]
         x = nn.avg_pool(x, (pool, pool, pool), strides=(1, 1, 1))
-        return x.reshape(x.shape[0], -1)
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)

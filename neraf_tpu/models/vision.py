@@ -54,16 +54,20 @@ class VisionModel:
     num_cameras: int = 1
     near: float = 0.05
     far: float = 1000.0
+    compute_dtype: Any = jnp.float32  # bf16 under mixed precision
 
     @property
     def field(self) -> NerfactoField:
-        return NerfactoField(config=self.config, num_cameras=self.num_cameras)
+        return NerfactoField(config=self.config, num_cameras=self.num_cameras,
+                             dtype=self.compute_dtype)
 
     def proposal(self, level: int) -> ProposalDensityField:
         max_res = 128 if level == 0 else 256
         return ProposalDensityField(
-            spec=ProposalFieldSpec(max_res=max_res),
+            spec=ProposalFieldSpec(encoding=self.config.encoding,
+                                   max_res=max_res),
             average_init_density=self.config.average_init_density,
+            dtype=self.compute_dtype,
         )
 
     def init(self, key: jax.Array) -> dict:

@@ -144,3 +144,18 @@ def test_vision_mini_convergence():
             first = float(loss)
     last = float(loss)
     assert last < first * 0.5, (first, last)
+
+
+def test_vision_forward_hash_encoding():
+    """The hash-grid backend stays available behind encoding='hash'."""
+    from neraf_tpu.configs.config import VisionModelConfig
+
+    cfg = VisionModelConfig(
+        encoding="hash", num_levels=4, log2_hashmap_size=10, base_res=4,
+        max_res=32, hidden_dim=16, hidden_dim_color=16, geo_feat_dim=7,
+        appearance_embed_dim=4, num_nerf_samples=8, num_proposal_samples=(16, 12))
+    model = VisionModel(config=cfg, num_cameras=1)
+    params = model.init(jax.random.PRNGKey(0))
+    out = model.forward(params, _rays(), jax.random.PRNGKey(1), train=True)
+    assert out["rgb"].shape == (8, 3)
+    assert np.all(np.isfinite(np.asarray(out["rgb"])))
