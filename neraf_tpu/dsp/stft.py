@@ -52,6 +52,12 @@ def _frame_indices(length_padded: int, n_fft: int, hop_length: int, n_frames: in
 def spectrogram_frames(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """Center-pad (reflect) and slice a signal into overlapping frames.
 
+    When hop divides n_fft (both dataset geometries: 512/128 and 1024/256),
+    framing is pure reshapes: view the padded signal as rows of `hop` samples
+    and concatenate q = n_fft/hop shifted row-slices. Zero gathers — on the
+    target TPU backend gathers lower to sequential loops, so this path is the
+    difference between microseconds and hundreds of ms inside Griffin-Lim.
+
     Args:
         x: (..., L) real signal.
     Returns:
@@ -60,9 +66,20 @@ def spectrogram_frames(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarr
     length = x.shape[-1]
     n_frm = num_frames(length, hop_length)
     pad = n_fft // 2
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    idx = jnp.asarray(_frame_indices(x.shape[-1], n_fft, hop_length, n_frm))
-    return x[..., idx]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+    if n_fft % hop_length == 0:
+        q = n_fft // hop_length
+        rows = n_frm + q - 1
+        need = rows * hop_length
+        if xp.shape[-1] < need:
+            xp = jnp.pad(xp, [(0, 0)] * (x.ndim - 1) + [(0, need - xp.shape[-1])])
+        xr = xp[..., :need].reshape(*x.shape[:-1], rows, hop_length)
+        strips = [xr[..., c : c + n_frm, :] for c in range(q)]
+        return jnp.concatenate(strips, axis=-1)
+
+    idx = jnp.asarray(_frame_indices(xp.shape[-1], n_fft, hop_length, n_frm))
+    return xp[..., idx]
 
 
 def stft_complex(
@@ -134,19 +151,43 @@ def istft(
 
     n_frames = frames.shape[-2]
     expected = n_fft + hop_length * (n_frames - 1)
+    lead = spec.shape[:-2]
 
-    starts = np.arange(n_frames) * hop_length
-    idx = jnp.asarray(starts[:, None] + np.arange(n_fft)[None, :])  # (T, n_fft)
+    if n_fft % hop_length == 0:
+        # Scatter-free overlap-add: split each frame into q = n_fft/hop chunks
+        # of `hop` samples; chunk c of frame f lands at output row f+c. Summing
+        # q row-shifted paddings reconstructs the OLA exactly, with only
+        # reshapes/pads/adds (the scatter-add path is ~1000x slower on this
+        # TPU backend).
+        q = n_fft // hop_length
+        rows = n_frames + q - 1
+        chunks = frames.reshape(*lead, n_frames, q, hop_length)
+        out_r = jnp.zeros(lead + (rows, hop_length), dtype=frames.dtype)
+        for c in range(q):
+            pad_cfg = [(0, 0)] * len(lead) + [(c, q - 1 - c), (0, 0)]
+            out_r = out_r + jnp.pad(chunks[..., c, :], pad_cfg)
+        out = out_r.reshape(*lead, rows * hop_length)[..., :expected]
+    else:
+        starts = np.arange(n_frames) * hop_length
+        idx = jnp.asarray(starts[:, None] + np.arange(n_fft)[None, :])
+        out = jnp.zeros(lead + (expected,), dtype=frames.dtype)
+        out = out.at[..., idx].add(frames)
 
-    out = jnp.zeros(spec.shape[:-2] + (expected,), dtype=frames.dtype)
-    out = out.at[..., idx].add(frames)
-
-    wsq = jnp.zeros((expected,), dtype=jnp.float32)
-    wsq = wsq.at[idx].add(jnp.broadcast_to(window * window, (n_frames, n_fft)))
+    # window-sum normalization is a constant — compute host-side in numpy
+    # (re-derive the padded window in numpy: `window` is traced under jit)
+    n = np.arange(win_length)
+    w_np = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w_np = np.pad(w_np, (left, n_fft - win_length - left))
+    w_np = w_np.astype(np.float64) ** 2
+    wsq_np = np.zeros(expected)
+    for f in range(n_frames):
+        wsq_np[f * hop_length : f * hop_length + n_fft] += w_np
 
     pad = n_fft // 2
     if length is None:
         length = hop_length * (n_frames - 1)
     out = out[..., pad : pad + length]
-    wsq = wsq[pad : pad + length]
-    return out / jnp.maximum(wsq, 1e-11)
+    wsq = jnp.asarray(np.maximum(wsq_np[pad : pad + length], 1e-11), dtype=jnp.float32)
+    return out / wsq

@@ -87,10 +87,9 @@ class AudioEngine:
 
     # ------------------------------------------------------------------- eval
     def _render_all_impl(self, params, mic_poses, source_poses, rots):
-        """vmap the full-RIR sweep over all eval poses -> (N, C, F, T) log-mags."""
-        return jax.vmap(
-            lambda m, s, r: self.model.render_rir(params, m, s, r, self.aabb)
-        )(mic_poses, source_poses, rots)
+        """Full-RIR sweep over all eval poses as one flat batch -> (N, C, F, T)."""
+        return self.model.render_rirs_batch(
+            params, mic_poses, source_poses, rots, self.aabb)
 
     def evaluate(self, state: AudioTrainState, dataset: AudioSliceDataset,
                  key: jax.Array | None = None) -> dict:

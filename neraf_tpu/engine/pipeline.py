@@ -442,11 +442,9 @@ class JointPipeline:
 
     def _render_rirs_impl(self, params, batch_stats, grid, mic, src, rot):
         feat = self._grid_feature_eval_impl(params, batch_stats, grid)
-        return jax.vmap(
-            lambda m, s, r: self.audio_model.render_rir(
-                params["audio"]["field"], m, s, r, self.audio_aabb,
-                grid_feature=feat)
-        )(mic, src, rot)
+        return self.audio_model.render_rirs_batch(
+            params["audio"]["field"], mic, src, rot, self.audio_aabb,
+            grid_feature=feat)
 
     def evaluate_vision(self, state: JointTrainState, cam_arrays: dict,
                         images: np.ndarray) -> dict:

@@ -158,3 +158,30 @@ class AudioModel:
         }
         out = self.apply(params, batch, aabb, grid_feature)  # (T, C, F)
         return jnp.transpose(out, (1, 2, 0))  # (C, F, T)
+
+    def render_rirs_batch(
+        self,
+        params: Any,
+        mic_poses: jnp.ndarray,
+        source_poses: jnp.ndarray,
+        rots: jnp.ndarray,
+        aabb: jnp.ndarray,
+        grid_feature: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Render N full RIRs as ONE flat (N*T) query batch -> (N, C, F, T).
+
+        vmapping render_rir over poses produces N small (T, .) matmuls that
+        under-utilize the MXU; flattening to a single (N*T, in_dim) batch is
+        the fast path for the eval sweep and loudness maps.
+        """
+        N = mic_poses.shape[0]
+        T = self.config.max_len
+        batch = {
+            "time_query": jnp.tile(jnp.arange(T), N),
+            "mic_pose": jnp.repeat(mic_poses, T, axis=0),
+            "source_pose": jnp.repeat(source_poses, T, axis=0),
+            "rot": jnp.repeat(rots, T, axis=0),
+        }
+        out = self.apply(params, batch, aabb, grid_feature)  # (N*T, C, F)
+        out = out.reshape(N, T, self.config.mic_ch, self.config.n_freq_stft)
+        return jnp.transpose(out, (0, 2, 3, 1))  # (N, C, F, T)
