@@ -82,6 +82,37 @@ def bench_vision(pipe, state, n_rays: int = 4096, iters: int = 5) -> float:
     return n_rays / dt
 
 
+def bench_train_step(pipe, state, iters: int = 10) -> float:
+    """Full joint training step at production sizes (4096 rays + 2048 STFT
+    slices + 4096-cell grid bake + resnet50(128^3) + 4 optimizer updates)."""
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    n_cams, H, W = 8, 512, 512
+    cam_arrays = {
+        "c2w": jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1), (n_cams, 3, 4)),
+        "fx": jnp.full((n_cams,), 400.0), "fy": jnp.full((n_cams,), 400.0),
+        "cx": jnp.full((n_cams,), W / 2), "cy": jnp.full((n_cams,), H / 2),
+    }
+    image_arrays = {"images": jax.random.uniform(key, (n_cams, H, W, 3))}
+    n_rec, F, T = 100, 257, 78
+    audio_arrays = {
+        "mic_pose": jax.random.uniform(key, (n_rec, 3)) * 4 - 2,
+        "source_pose": jnp.zeros((n_rec, 3)),
+        "rot": jnp.full((n_rec, 3), 0.5),
+        "log_stft": jax.random.normal(key, (n_rec, 2, F, T)) * 0.5 - 3,
+    }
+    state = state._replace(step=jnp.int32(3000))  # audio branch active
+    state, met = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
+    jax.block_until_ready(met["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, met = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
+    jax.block_until_ready(met["total_loss"])
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     from neraf_tpu.utils.cache import enable_compilation_cache
 
@@ -93,6 +124,7 @@ def main():
 
     rirs_per_sec = bench_audio(pipe, state)
     rays_per_sec = bench_vision(pipe, state)
+    steps_per_sec = bench_train_step(pipe, state)
 
     result = {
         "metric": "RIRs/sec/chip (STFT synth + Griffin-Lim); rays/sec volume render; T60 err parity",
@@ -101,6 +133,7 @@ def main():
         "vs_baseline": round(rirs_per_sec / CUDA_BASELINE_RIRS_PER_SEC, 3),
         "extras": {
             "rays_per_sec": round(rays_per_sec, 1),
+            "train_steps_per_sec": round(steps_per_sec, 2),
             "rir_geometry": "SoundSpaces 257x78 binaural, grid 128^3, resnet50, GL32",
             "cuda_baseline_estimate_rirs_per_sec": CUDA_BASELINE_RIRS_PER_SEC,
         },
