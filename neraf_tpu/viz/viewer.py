@@ -1,0 +1,171 @@
+"""Interactive viewer: an HTTP render server (`ns-viewer` analogue).
+
+The reference inherits nerfstudio's websocket viewer and adds WIP audio hooks
+(source-position widget + auralization button, NeRAF_model.py:215-267). This
+is a dependency-free equivalent: a stdlib HTTP server exposing
+
+  GET /                 — minimal HTML front end (orbit with arrow keys)
+  GET /render?theta=..&phi=..&radius=..&w=..&h=..  — PNG render of that view
+  GET /rir?x=..&y=..&z=..                          — WAV RIR at a mic position
+  GET /state                                        — JSON scene info
+
+Rendering runs through the same chunked eval path as neraf-eval. Start with
+`neraf-viewer --load-config ...` or programmatically via `serve(...)`.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_INDEX_HTML = """<!doctype html>
+<html><head><title>neraf-tpu viewer</title><style>
+body{background:#111;color:#eee;font-family:monospace;text-align:center}
+img{image-rendering:pixelated;border:1px solid #444;margin-top:1em}
+</style></head><body>
+<h3>neraf-tpu viewer</h3>
+<div>arrow keys: orbit &nbsp; +/-: zoom</div>
+<img id="v" width="512" height="512">
+<script>
+let th=0, ph=0.3, r=2.0;
+function refresh(){
+  document.getElementById('v').src=`/render?theta=${th}&phi=${ph}&radius=${r}&w=128&h=128&_=${Date.now()}`;
+}
+document.addEventListener('keydown',e=>{
+  if(e.key==='ArrowLeft')th-=0.2; if(e.key==='ArrowRight')th+=0.2;
+  if(e.key==='ArrowUp')ph=Math.min(1.4,ph+0.1); if(e.key==='ArrowDown')ph=Math.max(-1.4,ph-0.1);
+  if(e.key==='+')r=Math.max(0.3,r-0.2); if(e.key==='-')r+=0.2;
+  refresh();
+});
+refresh();
+</script></body></html>"""
+
+
+def _orbit_camera(theta: float, phi: float, radius: float) -> np.ndarray:
+    """c2w for a camera orbiting the origin (OpenGL convention)."""
+    pos = np.array([
+        radius * np.cos(phi) * np.cos(theta),
+        radius * np.cos(phi) * np.sin(theta),
+        radius * np.sin(phi),
+    ])
+    forward = -pos / np.linalg.norm(pos)
+    up0 = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up0)
+    n = np.linalg.norm(right)
+    right = np.array([1.0, 0, 0]) if n < 1e-6 else right / n
+    up = np.cross(right, forward)
+    c2w = np.zeros((3, 4), dtype=np.float32)
+    c2w[:, 0], c2w[:, 1], c2w[:, 2], c2w[:, 3] = right, up, -forward, pos
+    return c2w
+
+
+class ViewerBackend:
+    """Bridges HTTP requests to pipeline renders; one render at a time."""
+
+    def __init__(self, pipeline, state, fs: int = 22050):
+        self.pipeline = pipeline
+        self.state = state
+        self.fs = fs
+        self._lock = threading.Lock()
+
+    def render_view(self, theta: float, phi: float, radius: float,
+                    w: int, h: int) -> bytes:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        c2w = _orbit_camera(theta, phi, radius)
+        focal = 1.2 * w
+        cam_arrays = {
+            "c2w": jnp.asarray(c2w)[None],
+            "fx": jnp.asarray([focal]), "fy": jnp.asarray([focal]),
+            "cx": jnp.asarray([w / 2.0]), "cy": jnp.asarray([h / 2.0]),
+        }
+        with self._lock:
+            out = self.pipeline.render_image(self.state, cam_arrays, 0, h, w)
+        rgb = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def render_rir_wav(self, mic: np.ndarray) -> bytes:
+        import jax.numpy as jnp
+        from scipy.io import wavfile
+
+        from neraf_tpu.viz.auralization import rir_from_log_stft
+
+        cfg = self.pipeline.audio_model.config
+        src = np.asarray(self.pipeline.audio_aabb).mean(axis=0)
+        rot = np.array([1.0, 0.5, 0.5], np.float32)
+        with self._lock:
+            log_pred = self.pipeline._render_rirs(
+                self.state.params, self.state.batch_stats, self.state.grid,
+                jnp.asarray(mic, jnp.float32)[None],
+                jnp.asarray(src, jnp.float32)[None],
+                jnp.asarray(rot)[None])[0]
+        wav = rir_from_log_stft(np.asarray(log_pred), n_fft=cfg.n_fft,
+                                hop_len=cfg.hop_len, win_len=cfg.win_len)
+        buf = io.BytesIO()
+        wavfile.write(buf, cfg.fs, np.asarray(wav, np.float32).T)
+        return buf.getvalue()
+
+    def scene_state(self) -> dict:
+        return {
+            "audio_aabb": np.asarray(self.pipeline.audio_aabb).tolist(),
+            "grid_res": self.pipeline.grid_res,
+            "step": int(np.asarray(self.state.step)),
+        }
+
+
+def make_handler(backend: ViewerBackend):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/":
+                    self._send(200, _INDEX_HTML.encode(), "text/html")
+                elif url.path == "/render":
+                    png = backend.render_view(
+                        float(q.get("theta", 0)), float(q.get("phi", 0.3)),
+                        float(q.get("radius", 2.0)),
+                        int(q.get("w", 128)), int(q.get("h", 128)))
+                    self._send(200, png, "image/png")
+                elif url.path == "/rir":
+                    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
+                                    float(q.get("z", 0))])
+                    self._send(200, backend.render_rir_wav(mic), "audio/wav")
+                elif url.path == "/state":
+                    self._send(200, json.dumps(backend.scene_state()).encode(),
+                               "application/json")
+                else:
+                    self._send(404, b"not found", "text/plain")
+            except Exception as e:  # surface render errors to the client
+                self._send(500, str(e).encode(), "text/plain")
+
+    return Handler
+
+
+def serve(backend: ViewerBackend, host: str = "127.0.0.1", port: int = 7007,
+          blocking: bool = True) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(backend))
+    if blocking:
+        print(f"viewer at http://{host}:{server.server_address[1]}")
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
