@@ -75,6 +75,40 @@ def encode_query(
     )
 
 
+def camera_to_audio_pose(c2w_camera: "np.ndarray", dataset: str = "SoundSpaces"):
+    """Viewer camera pose -> (mic_pose, rot cosine) in audio coordinates.
+
+    Port of the reference's viewer-camera handling
+    (NeRAF_model.py:613-646): viewer frame is x-front/y-left/z-up, audio is
+    x-front/y-up/z-left; the yaw is extracted as euler 'yxz' (RAF, from the
+    source pose) or 'zyx' (SoundSpaces, from the camera), rounded to whole
+    degrees and expressed as the [cos, 0, sin] direction cosine in [0,1].
+    """
+    import numpy as np
+    from scipy.spatial.transform import Rotation as R
+
+    c2w = np.eye(4)
+    c2w[:3, :4] = np.asarray(c2w_camera)[:3, :4]
+    transform_axis = np.array([
+        [1, 0, 0, 0],
+        [0, 0, 1, 0],
+        [0, -1, 0, 0],
+        [0, 0, 0, 1],
+    ])
+    c2w_audio = transform_axis @ c2w
+    mic_pose = c2w_audio[:3, 3]
+
+    if dataset == "RAF":
+        source_cam2world = transform_axis @ np.eye(4)
+        yaw = R.from_matrix(source_cam2world[:3, :3]).as_euler("yxz", degrees=True)[0]
+    else:
+        yaw = R.from_matrix(c2w[:3, :3]).as_euler("zyx", degrees=True)[0]
+    yaw = np.round(yaw, decimals=0)
+    rad = np.deg2rad(yaw)
+    rot = (np.array([np.cos(rad), 0.0, np.sin(rad)]) + 1.0) / 2.0
+    return mic_pose, rot
+
+
 @dataclasses.dataclass(frozen=True)
 class AudioModel:
     """Static model definition; parameters live in external pytrees."""

@@ -38,6 +38,53 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def make_mesh_2d(data: int, model: int, devices=None) -> Mesh:
+    """(data, model) mesh: batch sharding x tensor sharding of wide MLPs.
+
+    Lay the model axis innermost so tensor-parallel collectives ride
+    neighboring ICI links (scaling-book layout rule).
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = data * model
+    if len(devices) < need:
+        raise ValueError(f"requested {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def mesh_axis(mesh: Mesh, name: str) -> bool:
+    return mesh is not None and name in mesh.axis_names
+
+
+def param_shardings(params, mesh: Mesh, min_dim: int = 1024):
+    """NamedShardings for a params pytree: shard the output axis of large
+    Dense kernels over 'model'; replicate everything else.
+
+    With batch activations sharded over 'data' and wide kernels column-
+    sharded over 'model', XLA inserts the all-gathers/reduce-scatters; the
+    acoustic field's 5096/2048-wide layers are the targets.
+    """
+    if not mesh_axis(mesh, "model"):
+        rep = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    def shard_leaf(x):
+        if getattr(x, "ndim", 0) == 2 and x.shape[-1] >= min_dim:
+            return NamedSharding(mesh, P(None, "model"))
+        if getattr(x, "ndim", 0) == 1 and x.shape[-1] >= min_dim:
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(shard_leaf, params)
+
+
+def apply_param_shardings(params, mesh: Mesh, min_dim: int = 1024):
+    """device_put the params pytree according to param_shardings."""
+    shardings = param_shardings(params, mesh, min_dim)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P("data"))

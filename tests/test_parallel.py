@@ -51,3 +51,31 @@ def test_joint_train_step_on_mesh(tmp_path):
     state, metrics = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
     assert int(state.step) == 1
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_2d_mesh_tensor_sharding():
+    """DP x TP: wide kernels shard over 'model', batch over 'data'."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from neraf_tpu.parallel.sharding import apply_param_shardings, make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    params = {
+        "wide": jnp.ones((256, 2048)),
+        "narrow": jnp.ones((16, 64)),
+        "bias": jnp.ones((2048,)),
+    }
+    sharded = apply_param_shardings(params, mesh, min_dim=1024)
+    assert sharded["wide"].sharding.spec == P(None, "model")
+    assert sharded["bias"].sharding.spec == P("model")
+    assert sharded["narrow"].sharding.spec == P()
+
+    @jax.jit
+    def f(p, x):
+        return x @ p["wide"] + p["bias"]
+
+    x = jnp.ones((32, 256))
+    out = f(sharded, x)
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 257.0, rtol=1e-6)

@@ -1,0 +1,58 @@
+"""RAF-geometry coverage: mono 513-bin audio engine + camera-audio transform."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neraf_tpu.configs.config import AudioModelConfig, ExperimentConfig
+from neraf_tpu.data.datasets import load_raf_dataset
+from neraf_tpu.engine.audio_engine import AudioEngine
+from neraf_tpu.models.audio import AudioModel, camera_to_audio_pose
+
+from fixtures import make_raf_scene
+
+
+def test_raf_audio_engine_end_to_end(tmp_path):
+    scene = make_raf_scene(tmp_path)
+    train_ds = load_raf_dataset(scene, "train")
+    eval_ds = load_raf_dataset(scene, "test")
+
+    cfg = ExperimentConfig(dataset="RAF")
+    cfg.audio_model = AudioModelConfig(dataset="RAF", w_field=32).resolve()
+    cfg.audio_data.batch_size = 32
+    cfg.optimizers.audio_fields.warmup_steps = 0
+
+    model = AudioModel(config=cfg.audio_model)
+    assert model.config.mic_ch == 1
+    assert model.config.n_freq_stft == 513
+    assert model.config.max_len == 60
+
+    engine = AudioEngine(config=cfg, model=model,
+                         aabb=jnp.asarray(train_ds.outputs.aabb, jnp.float32))
+    state = engine.init_state()
+    arrays = train_ds.slice_arrays()
+    state, metrics = engine.train_step(state, arrays)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    res = engine.evaluate(state, eval_ds)
+    # RAF evaluator: includes the re-STFT benchmark error
+    for k in ("audio_T60", "audio_stft_error", "audio_EDT", "audio_C50"):
+        assert k in res, k
+        assert np.isfinite(res[k]), k
+
+
+def test_camera_to_audio_pose():
+    # identity camera at origin
+    c2w = np.eye(4)[:3]
+    mic, rot = camera_to_audio_pose(c2w, "SoundSpaces")
+    np.testing.assert_allclose(mic, 0.0, atol=1e-9)
+    assert rot.shape == (3,)
+    assert np.all(rot >= 0) and np.all(rot <= 1)
+    np.testing.assert_allclose(rot[1], 0.5)  # zero middle component convention
+
+    # translated camera: position maps through the axis swap [x, z, -y]
+    c2w = np.eye(4)[:3]
+    c2w[:, 3] = [1.0, 2.0, 3.0]
+    mic, _ = camera_to_audio_pose(c2w, "RAF")
+    np.testing.assert_allclose(mic, [1.0, 3.0, -2.0], atol=1e-9)
