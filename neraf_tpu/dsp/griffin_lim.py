@@ -23,7 +23,8 @@ from neraf_tpu.dsp.stft import istft, stft_complex
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length", "momentum", "rand_init"),
+    static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length",
+                     "momentum", "rand_init", "method"),
 )
 def griffin_lim(
     magnitude: jnp.ndarray,
@@ -36,6 +37,7 @@ def griffin_lim(
     length: int | None = None,
     key: jax.Array | None = None,
     rand_init: bool = True,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Recover a waveform from a magnitude spectrogram.
 
@@ -43,6 +45,9 @@ def griffin_lim(
         magnitude: (..., F, T) non-negative magnitudes, F = n_fft//2+1.
         length: output waveform length; default (T-1)*hop.
         key: PRNG key for the random phase init (required if rand_init).
+        method: 'matmul' (default) runs the whole loop in real arithmetic
+            with DFTs as MXU matmuls — fully fusable, no FFT custom-calls,
+            no complex dtype; 'fft' uses jnp.fft (identical math).
     Returns:
         (..., length) real waveform.
     """
@@ -51,16 +56,22 @@ def griffin_lim(
     if length is None:
         length = hop_length * (magnitude.shape[-1] - 1)
     mom = momentum / (1.0 + momentum)
+    mag = magnitude.astype(jnp.float32)
 
     if rand_init:
         if key is None:
             key = jax.random.PRNGKey(0)
-        ang = jax.random.uniform(key, magnitude.shape, dtype=jnp.float32) * (2 * jnp.pi)
-        angles = jnp.exp(1j * ang.astype(jnp.complex64))
+        ang0 = jax.random.uniform(key, magnitude.shape, dtype=jnp.float32) * (2 * jnp.pi)
+        aR0, aI0 = jnp.cos(ang0), jnp.sin(ang0)
     else:
-        angles = jnp.ones(magnitude.shape, dtype=jnp.complex64)
+        aR0 = jnp.ones_like(mag)
+        aI0 = jnp.zeros_like(mag)
 
-    mag = magnitude.astype(jnp.float32)
+    if method == "matmul":
+        return _griffin_lim_matmul(mag, aR0, aI0, n_fft, hop_length, win_length,
+                                   n_iter, mom, length)
+
+    angles = (aR0 + 1j * aI0).astype(jnp.complex64)
 
     def project(angles):
         """One GL projection: spec -> waveform -> spec."""
@@ -80,3 +91,52 @@ def griffin_lim(
 
     return istft(mag * angles, n_fft=n_fft, hop_length=hop_length,
                  win_length=win_length, length=length)
+
+
+def _griffin_lim_matmul(mag, aR0, aI0, n_fft, hop_length, win_length,
+                        n_iter, mom, length):
+    """GL loop in real arithmetic: DFTs as matmuls, strip-framing/OLA.
+
+    Everything inside the scan body is matmul + elementwise + reshape — one
+    fused XLA computation on the MXU with frames staying on-chip.
+    """
+    from neraf_tpu.dsp.stft import (
+        _dft_matrices,
+        _padded_window,
+        overlap_add,
+        spectrogram_frames,
+        window_sum_squares,
+    )
+
+    Cr, Ci, Ar, Ai = _dft_matrices(n_fft)
+    window = _padded_window(n_fft, win_length, jnp.float32)
+    T = mag.shape[-1]
+    wsq = window_sum_squares(n_fft, hop_length, win_length, T, length)
+    pad = n_fft // 2
+
+    def istft_ri(R, I):
+        # (..., F, T) real/imag -> (..., length) signal
+        fR = jnp.swapaxes(R, -1, -2)  # (..., T, F)
+        fI = jnp.swapaxes(I, -1, -2)
+        frames = (fR @ Ar + fI @ Ai) * window
+        sig = overlap_add(frames, n_fft, hop_length)
+        return sig[..., pad : pad + length] / wsq
+
+    def stft_ri(x):
+        frames = spectrogram_frames(x, n_fft, hop_length) * window  # (..., T, n_fft)
+        R = frames @ Cr
+        I = frames @ Ci
+        return jnp.swapaxes(R, -1, -2), jnp.swapaxes(I, -1, -2)
+
+    def body(carry, _):
+        aR, aI, tR, tI = carry
+        x = istft_ri(mag * aR, mag * aI)
+        rR, rI = stft_ri(x)
+        nR = rR - mom * tR
+        nI = rI - mom * tI
+        norm = jnp.maximum(jnp.sqrt(nR * nR + nI * nI), 1e-16)
+        return (nR / norm, nI / norm, rR, rI), None
+
+    init = (aR0, aI0, jnp.zeros_like(aR0), jnp.zeros_like(aI0))
+    (aR, aI, _, _), _ = jax.lax.scan(body, init, None, length=n_iter)
+    return istft_ri(mag * aR, mag * aI)

@@ -44,6 +44,29 @@ def num_frames(length: int, hop_length: int) -> int:
     return 1 + length // hop_length
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_matrices_np(n_fft: int):
+    F = n_fft // 2 + 1
+    fw = np.fft.rfft(np.eye(n_fft), axis=1)  # (n_fft, F)
+    eye_f = np.eye(F)
+    return (fw.real.astype(np.float32), fw.imag.astype(np.float32),
+            np.fft.irfft(eye_f, n=n_fft, axis=1).astype(np.float32),
+            np.fft.irfft(1j * eye_f, n=n_fft, axis=1).astype(np.float32))
+
+
+def _dft_matrices(n_fft: int):
+    """Real DFT as matmul operands (built exactly from numpy FFTs of identity).
+
+    Returns (Cr, Ci, Ar, Ai): rfft(x) = x@Cr + i x@Ci for (..., n_fft) rows,
+    and irfft(R + iI) = R@Ar + I@Ai for (..., F) rows. On the target TPU the
+    FFT custom-call blocks fusion and underperforms; n_fft<=1024 transforms
+    are MXU-sized matmuls instead. Cached as numpy (jnp conversion happens
+    per-trace so no tracers leak through the cache).
+    """
+    Cr, Ci, Ar, Ai = _dft_matrices_np(n_fft)
+    return (jnp.asarray(Cr), jnp.asarray(Ci), jnp.asarray(Ar), jnp.asarray(Ai))
+
+
 def _frame_indices(length_padded: int, n_fft: int, hop_length: int, n_frames: int) -> np.ndarray:
     starts = np.arange(n_frames) * hop_length
     return starts[:, None] + np.arange(n_fft)[None, :]
@@ -150,15 +173,27 @@ def istft(
     frames = frames * window
 
     n_frames = frames.shape[-2]
+    if length is None:
+        length = hop_length * (n_frames - 1)
+    out = overlap_add(frames, n_fft, hop_length)
+    wsq = window_sum_squares(n_fft, hop_length, win_length, n_frames, length)
+    pad = n_fft // 2
+    return out[..., pad : pad + length] / wsq
+
+
+def overlap_add(frames: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """(..., T, n_fft) windowed frames -> (..., n_fft + hop*(T-1)) OLA signal.
+
+    Scatter-free when hop divides n_fft: split each frame into q = n_fft/hop
+    chunks of `hop` samples; chunk c of frame f lands at output row f+c, so
+    summing q row-shifted paddings reconstructs the OLA with only
+    reshapes/pads/adds (scatter-add is ~1000x slower on the target backend).
+    """
+    n_frames = frames.shape[-2]
     expected = n_fft + hop_length * (n_frames - 1)
-    lead = spec.shape[:-2]
+    lead = frames.shape[:-2]
 
     if n_fft % hop_length == 0:
-        # Scatter-free overlap-add: split each frame into q = n_fft/hop chunks
-        # of `hop` samples; chunk c of frame f lands at output row f+c. Summing
-        # q row-shifted paddings reconstructs the OLA exactly, with only
-        # reshapes/pads/adds (the scatter-add path is ~1000x slower on this
-        # TPU backend).
         q = n_fft // hop_length
         rows = n_frames + q - 1
         chunks = frames.reshape(*lead, n_frames, q, hop_length)
@@ -166,28 +201,33 @@ def istft(
         for c in range(q):
             pad_cfg = [(0, 0)] * len(lead) + [(c, q - 1 - c), (0, 0)]
             out_r = out_r + jnp.pad(chunks[..., c, :], pad_cfg)
-        out = out_r.reshape(*lead, rows * hop_length)[..., :expected]
-    else:
-        starts = np.arange(n_frames) * hop_length
-        idx = jnp.asarray(starts[:, None] + np.arange(n_fft)[None, :])
-        out = jnp.zeros(lead + (expected,), dtype=frames.dtype)
-        out = out.at[..., idx].add(frames)
+        return out_r.reshape(*lead, rows * hop_length)[..., :expected]
 
-    # window-sum normalization is a constant — compute host-side in numpy
-    # (re-derive the padded window in numpy: `window` is traced under jit)
+    starts = np.arange(n_frames) * hop_length
+    idx = jnp.asarray(starts[:, None] + np.arange(n_fft)[None, :])
+    out = jnp.zeros(lead + (expected,), dtype=frames.dtype)
+    return out.at[..., idx].add(frames)
+
+
+@functools.lru_cache(maxsize=32)
+def _wsq_np(n_fft: int, hop_length: int, win_length: int, n_frames: int,
+            length: int) -> tuple:
     n = np.arange(win_length)
-    w_np = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
     if win_length < n_fft:
         left = (n_fft - win_length) // 2
-        w_np = np.pad(w_np, (left, n_fft - win_length - left))
-    w_np = w_np.astype(np.float64) ** 2
-    wsq_np = np.zeros(expected)
+        w = np.pad(w, (left, n_fft - win_length - left))
+    w2 = w.astype(np.float64) ** 2
+    expected = n_fft + hop_length * (n_frames - 1)
+    wsq = np.zeros(expected)
     for f in range(n_frames):
-        wsq_np[f * hop_length : f * hop_length + n_fft] += w_np
-
+        wsq[f * hop_length : f * hop_length + n_fft] += w2
     pad = n_fft // 2
-    if length is None:
-        length = hop_length * (n_frames - 1)
-    out = out[..., pad : pad + length]
-    wsq = jnp.asarray(np.maximum(wsq_np[pad : pad + length], 1e-11), dtype=jnp.float32)
-    return out / wsq
+    return tuple(np.maximum(wsq[pad : pad + length], 1e-11).tolist())
+
+
+def window_sum_squares(n_fft: int, hop_length: int, win_length: int,
+                       n_frames: int, length: int) -> jnp.ndarray:
+    """NOLA normalization vector (constant; built host-side in numpy)."""
+    return jnp.asarray(_wsq_np(n_fft, hop_length, win_length, n_frames, length),
+                       dtype=jnp.float32)

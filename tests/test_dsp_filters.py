@@ -76,3 +76,18 @@ def test_griffin_lim_batched_shapes():
     mag = jnp.ones((2, 257, 60))
     wav = griffin_lim(mag, n_fft=512, hop_length=128, key=jax.random.PRNGKey(1))
     assert wav.shape == (2, 128 * 59)
+
+
+def test_griffin_lim_matmul_matches_fft():
+    """The matmul-DFT GL path is numerically identical to the fft path."""
+    import jax
+
+    fs, n_fft, hop, win = 22050, 512, 128, 512
+    t = np.arange(2048) / fs
+    x = (np.sin(2 * np.pi * 700 * t) * np.exp(-t * 10)).astype(np.float32)
+    mag = stft_magnitude(jnp.asarray(x), n_fft=n_fft, hop_length=hop, win_length=win)
+    kw = dict(n_fft=n_fft, hop_length=hop, win_length=win, n_iter=8,
+              key=jax.random.PRNGKey(3))
+    a = np.asarray(griffin_lim(mag, method="fft", **kw))
+    b = np.asarray(griffin_lim(mag, method="matmul", **kw))
+    np.testing.assert_allclose(a, b, atol=2e-4)
