@@ -12,9 +12,7 @@ from __future__ import annotations
 
 import argparse
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from neraf_tpu.configs.config import default_config
 from neraf_tpu.data.vision_data import camera_arrays

@@ -26,7 +26,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from neraf_tpu.data.dataparsers import AudioParserOutputs, parse_raf, parse_soundspaces
-from neraf_tpu.dsp.resample import resample_poly
 from neraf_tpu.dsp.stft import stft_magnitude
 from neraf_tpu.utils.wav import read_wav as _read_wav
 

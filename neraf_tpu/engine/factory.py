@@ -8,10 +8,8 @@ explicit function instead of _target factories.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 
 import jax.numpy as jnp
-import numpy as np
 
 from neraf_tpu.configs.config import ExperimentConfig
 from neraf_tpu.data.datasets import (

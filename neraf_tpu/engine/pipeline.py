@@ -89,7 +89,8 @@ class JointPipeline:
 
         self.cells = jnp.asarray(grid_mod.cell_centers(self.grid_res))
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._render_rays_eval = jax.jit(self._render_rays_eval_impl)
+        self._render_rays_eval = jax.jit(self._render_rays_eval_impl,
+                                         static_argnums=(2,))
         self._grid_feature_eval = jax.jit(self._grid_feature_eval_impl)
         self._render_rirs = jax.jit(self._render_rirs_impl)
 
@@ -401,13 +402,16 @@ class JointPipeline:
 
         return full_bake(jax.lax.stop_gradient(state.params), state.grid)
 
-    def _render_rays_eval_impl(self, params: dict, rays: dict):
+    def _render_rays_eval_impl(self, params: dict, rays: dict,
+                               use_average_appearance: bool = True):
         return self.vision_model.forward(
             self._vision_params(params), rays, jax.random.PRNGKey(0),
-            train=False, apply_cam_opt=False)
+            train=False, apply_cam_opt=False,
+            use_average_appearance=use_average_appearance)
 
     def render_image(self, state: JointTrainState, cam_arrays: dict,
-                     cam_index: int, height: int, width: int) -> dict:
+                     cam_index: int, height: int, width: int,
+                     use_average_appearance: bool = True) -> dict:
         """Render one full image in eval chunks (reference chunk 1<<15)."""
         chunk = self.config.vision_model.eval_num_rays_per_chunk
         ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
@@ -424,7 +428,8 @@ class JointPipeline:
             rays = generate_rays(cam_arrays, cam_idx,
                                  jnp.asarray(xs[i:i + chunk]),
                                  jnp.asarray(ys[i:i + chunk]))
-            out = self._render_rays_eval(state.params, rays)
+            out = self._render_rays_eval(state.params, rays,
+                                         use_average_appearance)
             out_chunks.append({k: np.asarray(out[k])
                                for k in ("rgb", "depth", "accumulation")})
 
@@ -447,13 +452,21 @@ class JointPipeline:
             grid_feature=feat)
 
     def evaluate_vision(self, state: JointTrainState, cam_arrays: dict,
-                        images: np.ndarray) -> dict:
-        """All-eval-images sweep: PSNR/SSIM + throughput (fps, rays/sec)."""
+                        images: np.ndarray,
+                        use_average_appearance: bool = True) -> dict:
+        """All-eval-images sweep: PSNR/SSIM + throughput (fps, rays/sec).
+
+        use_average_appearance=False renders with each camera's own trained
+        appearance embedding — correct when eval views ARE training views
+        (synthetic validation); the reference's eval on held-out views uses
+        the average embedding.
+        """
         n, H, W = images.shape[:3]
         psnrs, ssims, times = [], [], []
         for i in range(n):
             t0 = time.perf_counter()
-            out = self.render_image(state, cam_arrays, i, H, W)
+            out = self.render_image(state, cam_arrays, i, H, W,
+                                    use_average_appearance)
             times.append(time.perf_counter() - t0)
             pred = jnp.asarray(out["rgb"])
             gt = jnp.asarray(images[i])

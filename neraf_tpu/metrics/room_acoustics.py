@@ -47,7 +47,10 @@ def measure_rt60(h: np.ndarray, fs: float, decay_db: float = 60.0) -> float:
     power = h**2
     energy = np.cumsum(power[::-1])[::-1]  # Schroeder backward integration
 
-    i_nz = np.max(np.where(energy > 0)[0])
+    pos = np.where(energy > 0)[0]
+    if pos.size == 0:  # all-zero or non-finite signal -> invalid estimate
+        raise ValueError("no positive energy in impulse response")
+    i_nz = np.max(pos)
     energy = energy[:i_nz]
     energy_db = 10 * np.log10(energy)
     energy_db -= energy_db[0]
@@ -84,16 +87,19 @@ def measure_edt(h: np.ndarray, fs: float = 44100.0, decay_db: float = 10.0) -> f
     power = h**2
     energy = np.cumsum(power[::-1])[::-1]
 
-    if np.all(energy == 0):
+    pos = np.where(energy > 0)[0]
+    if pos.size == 0:  # all-zero or non-finite (e.g. NaN) signal
         return float("nan")
 
-    i_nz = np.max(np.where(energy > 0)[0])
+    i_nz = np.max(pos)
     energy = energy[:i_nz]
     energy_db = 10 * np.log10(energy)
     energy_db -= energy_db[0]
 
-    i_decay = np.min(np.where(-decay_db - energy_db > 0)[0])
-    t_decay = i_decay / fs
+    crossings = np.where(-decay_db - energy_db > 0)[0]
+    if crossings.size == 0:  # never decays far enough
+        return float("nan")
+    t_decay = np.min(crossings) / fs
     return (60.0 / decay_db) * t_decay
 
 

@@ -8,7 +8,6 @@ directions (rotation via the SO(3) exponential map).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

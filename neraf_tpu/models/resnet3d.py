@@ -16,12 +16,10 @@ TPU notes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
-
-from typing import Any
 
 _XAVIER = nn.initializers.xavier_normal()
 

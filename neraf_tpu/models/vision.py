@@ -133,7 +133,11 @@ class VisionModel:
         w0 = render_weights(d0, s0["deltas"])
         weights_list.append(w0)
         spacing_list.append((s0["spacing_starts"], s0["spacing_ends"]))
-        bins = pdf_spacing_bins(k_pdf0, bins, w0**anneal, num_p1,
+        # resampling is detached from the proposal weights (mip-NeRF-360
+        # semantics: proposals learn only via the interlevel loss). This also
+        # kills the inf gradient of w**anneal at w=0 (bf16 underflow).
+        w0_s = jax.lax.stop_gradient(w0) ** anneal
+        bins = pdf_spacing_bins(k_pdf0, bins, w0_s, num_p1,
                                 single_jitter=cfg.use_single_jitter,
                                 deterministic=deterministic)
 
@@ -144,7 +148,8 @@ class VisionModel:
         w1 = render_weights(d1, s1["deltas"])
         weights_list.append(w1)
         spacing_list.append((s1["spacing_starts"], s1["spacing_ends"]))
-        bins = pdf_spacing_bins(k_pdf1, bins, w1**anneal, cfg.num_nerf_samples,
+        w1_s = jax.lax.stop_gradient(w1) ** anneal
+        bins = pdf_spacing_bins(k_pdf1, bins, w1_s, cfg.num_nerf_samples,
                                 single_jitter=cfg.use_single_jitter,
                                 deterministic=deterministic)
 

@@ -7,7 +7,6 @@ and reduce each to RMS loudness in dB.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

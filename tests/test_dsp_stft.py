@@ -81,3 +81,26 @@ def test_log_transforms_roundtrip(rng):
     log = log_magnitude(jnp.asarray(mag))
     back = np.asarray(log_to_magnitude(log))
     np.testing.assert_allclose(back, mag, atol=1e-5)
+
+
+def test_istft_non_divisible_hop(rng):
+    """Gather/scatter fallback path when hop does not divide n_fft."""
+    n_fft, hop, win = 512, 160, 512
+    x = rng.standard_normal(3200).astype(np.float32)
+    spec = stft_complex(jnp.asarray(x), n_fft=n_fft, hop_length=hop, win_length=win)
+    recon = np.asarray(istft(spec, n_fft=n_fft, hop_length=hop, win_length=win,
+                             length=3200))
+    ref = torch.istft(torch_spectrogram(x, n_fft, hop, win), n_fft=n_fft,
+                      hop_length=hop, win_length=win,
+                      window=torch.hann_window(win), center=True, length=3200).numpy()
+    np.testing.assert_allclose(recon, ref, atol=1e-4)
+
+
+def test_raf_geometry_roundtrip(rng):
+    """RAF STFT geometry (1024/256/512) framing + inversion."""
+    x = rng.standard_normal(15360).astype(np.float32)
+    spec = stft_complex(jnp.asarray(x), n_fft=1024, hop_length=256, win_length=512)
+    assert spec.shape == (513, 61)
+    recon = np.asarray(istft(spec, n_fft=1024, hop_length=256, win_length=512,
+                             length=15360))
+    np.testing.assert_allclose(recon, x, atol=1e-4)
