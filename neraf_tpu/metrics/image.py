@@ -60,9 +60,12 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.nd
     mu_tt = filt(target * target)
     mu_pt = filt(pred * target)
 
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
+    # clamp variances: mu_pp - mu_p^2 can go slightly negative in float32,
+    # which lets the per-pixel ratio exceed 1 on near-identical images
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
     cov = mu_pt - mu_p * mu_t
+    cov = jnp.clip(cov, -jnp.sqrt(var_p * var_t), jnp.sqrt(var_p * var_t))
 
     s = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
         (mu_p**2 + mu_t**2 + c1) * (var_p + var_t + c2)

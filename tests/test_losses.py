@@ -73,3 +73,11 @@ def test_ssim_degrades_with_noise(rng):
     img = rng.random((32, 32, 3)).astype(np.float32)
     noisy = np.clip(img + rng.standard_normal(img.shape).astype(np.float32) * 0.2, 0, 1)
     assert float(ssim(jnp.asarray(img), jnp.asarray(noisy))) < 0.9
+
+
+def test_ssim_bounded_on_near_identical(rng):
+    """float32 variance estimates must not push SSIM above 1."""
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    near = img + rng.standard_normal(img.shape).astype(np.float32) * 1e-4
+    val = float(ssim(jnp.asarray(img), jnp.asarray(np.clip(near, 0, 1))))
+    assert 0.99 <= val <= 1.0 + 1e-6, val
