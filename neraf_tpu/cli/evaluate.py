@@ -122,6 +122,19 @@ def main(argv=None):
             for i in range(log_pred.shape[0]):
                 np.save(out_dir / f"stft_eval_{i:05d}.npy", np.asarray(log_pred[i]))
 
+            # eval-view PNGs (the reference saves these during its full sweep,
+            # NeRAF_pipeline.py:329-338)
+            if bundle.vision_eval is not None and len(bundle.vision_eval.cameras):
+                from PIL import Image
+
+                cams = camera_arrays(bundle.vision_eval.cameras)
+                H, W = (bundle.vision_eval.cameras.height,
+                        bundle.vision_eval.cameras.width)
+                for i in range(len(bundle.vision_eval.cameras)):
+                    out = pipe.render_image(state, cams, i, H, W)
+                    rgb = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+                    Image.fromarray(rgb).save(out_dir / f"eval_img_{i:04d}.png")
+
     if args.output_path:
         trainer.write_eval_json(results, args.output_path)
     print(results)

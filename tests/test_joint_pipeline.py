@@ -152,3 +152,31 @@ def test_audio_masked_before_start(tmp_path):
     assert float(metrics["audio_sc_loss"]) == 0.0
     assert float(metrics["audio_mag_loss"]) == 0.0
     assert float(metrics["rgb_loss"]) > 0.0
+
+
+def test_joint_checkpoint_roundtrip(tmp_path):
+    """Grid, cursor, BN stats and all four opt states survive save/restore."""
+    from neraf_tpu.engine.checkpoints import restore_checkpoint, save_checkpoint
+
+    pipe, vds, ads, _ = _make_pipeline(tmp_path)
+    state = pipe.init_state()
+    cam_arrays = camera_arrays(vds.cameras)
+    image_arrays = {"images": jnp.asarray(vds.images)}
+    audio_arrays = ads.slice_arrays()
+    for _ in range(3):
+        state, _ = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
+
+    path = save_checkpoint(tmp_path / "ck", int(state.step), state)
+    restored = restore_checkpoint(path, pipe.init_state())
+    assert int(restored.step) == 3
+    assert int(restored.cursor) == int(state.cursor)
+    np.testing.assert_allclose(np.asarray(restored.grid), np.asarray(state.grid))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # training continues from the restored state
+    restored, metrics = pipe.train_step(restored, cam_arrays, audio_arrays,
+                                        image_arrays)
+    assert int(restored.step) == 4
+    assert np.isfinite(float(metrics["total_loss"]))
