@@ -95,3 +95,45 @@ def test_batch_sampler(tmp_path):
     b = gather_audio_batch(arrays, rec, t)
     np.testing.assert_allclose(
         np.asarray(b["data"][1]), ds.log_stft[1, :, :, 5], rtol=1e-6)
+
+
+def test_parse_inference_poses_soundspaces(tmp_path):
+    """Habitat .pkl trajectory: yaw offset handling + mic-height pinning."""
+    import pickle
+
+    from scipy.spatial.transform import Rotation
+
+    from neraf_tpu.data.dataparsers import parse_inference_poses_soundspaces
+
+    obs = []
+    for yaw_deg in (-90.0, 45.0):
+        quat = Rotation.from_euler("y", yaw_deg, degrees=True).as_quat()
+        obs.append({
+            "pose": np.array([1.0, 0.2, 3.0]),
+            "quat": quat,
+            "source": np.array([0.0, 1.5, 0.0]),
+        })
+    path = tmp_path / "traj.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"scene_obs": obs}, f)
+
+    out = parse_inference_poses_soundspaces(str(path))
+    assert out.microphone_poses.shape == (2, 3)
+    # mic height pinned to the source height (reference :439-440)
+    np.testing.assert_allclose(out.microphone_poses[:, 1], 1.5)
+    # negative yaw wraps to 360 + yaw: -90 -> 270 degrees
+    expected = (np.array([np.cos(np.deg2rad(270)), 0, np.sin(np.deg2rad(270))]) + 1) / 2
+    np.testing.assert_allclose(out.rotations[0], expected, atol=1e-6)
+
+
+def test_inference_mode_raf_via_env(tmp_path, monkeypatch):
+    """AVN_RENDER_POSES switches parse_raf to trajectory-inference mode."""
+    from neraf_tpu.viz.trajectory import make_trajectory_poses, save_trajectory_npy
+
+    poses = make_trajectory_poses(np.asarray([[0, 0, 0], [1, 1, 1]]), 5,
+                                  source_pose=[0.5, 0.5, 0.5])
+    path = save_trajectory_npy(poses, tmp_path / "p.npy")
+    monkeypatch.setenv("AVN_RENDER_POSES", str(path))
+    out = parse_raf(tmp_path, "inference")
+    assert out.microphone_poses.shape == (5, 3)
+    assert out.source_poses.shape == (5, 3)
