@@ -77,8 +77,32 @@ class Trainer:
 
         start_step = int(np.asarray(state.step))
         t_last = time.perf_counter()
+        try:
+            state = self._loop(state, step_fn, eval_fns, eval_batch_fn,
+                               eval_image_fn, start_step, max_steps,
+                               on_metrics, t_last)
+        except (KeyboardInterrupt, Exception):
+            # emergency checkpoint so preemptions/crashes are resumable
+            latest = getattr(self, "_latest_state", state)
+            try:
+                step_now = int(np.asarray(latest.step))
+                save_checkpoint(self.ckpt_dir, step_now, latest,
+                                keep_all=not tcfg.save_only_latest_checkpoint)
+                print(f"emergency checkpoint saved at step {step_now}")
+            except Exception:
+                pass
+            raise
+
+        save_checkpoint(self.ckpt_dir, max_steps, state,
+                        keep_all=not tcfg.save_only_latest_checkpoint)
+        return state
+
+    def _loop(self, state, step_fn, eval_fns, eval_batch_fn, eval_image_fn,
+              start_step, max_steps, on_metrics, t_last):
+        tcfg = self.config.trainer
         for step in range(start_step, max_steps):
             state, metrics = step_fn(state)
+            self._latest_state = state
 
             if (step + 1) % tcfg.steps_per_log == 0:
                 now = time.perf_counter()
@@ -106,8 +130,6 @@ class Trainer:
                 save_checkpoint(self.ckpt_dir, step + 1, state,
                                 keep_all=not tcfg.save_only_latest_checkpoint)
 
-        save_checkpoint(self.ckpt_dir, max_steps, state,
-                        keep_all=not tcfg.save_only_latest_checkpoint)
         return state
 
     def write_eval_json(self, results: dict, output_path: str | Path):

@@ -86,3 +86,37 @@ def test_train_and_eval_roundtrip(mini_run):
     assert "audio_T60_mean_error" in results
     assert "psnr" in results
     assert np.isfinite(results["psnr"])
+
+
+def test_emergency_checkpoint_on_crash(mini_run):
+    """A crashing step_fn still leaves a resumable checkpoint behind."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from neraf_tpu.data.vision_data import camera_arrays
+    from neraf_tpu.engine.factory import build_pipeline
+    from neraf_tpu.engine.trainer import Trainer
+
+    cfg, tmp_path = mini_run
+    bundle = build_pipeline(cfg)
+    pipe = bundle.pipeline
+    trainer = Trainer(config=cfg, pipeline=pipe)
+    state = pipe.init_state()
+    cam_arrays = camera_arrays(bundle.vision_train.cameras)
+    image_arrays = {"images": jnp.asarray(bundle.vision_train.images)}
+    audio_arrays = bundle.audio_train.slice_arrays()
+
+    calls = {"n": 0}
+
+    def step_fn(s):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated preemption")
+        calls["n"] += 1
+        return pipe.train_step(s, cam_arrays, audio_arrays, image_arrays)
+
+    with _pytest.raises(RuntimeError):
+        trainer.train(state, step_fn=step_fn, max_steps=10)
+
+    ckpts = list((trainer.output_dir / "neraf_models").glob("step-*"))
+    assert len(ckpts) >= 1  # emergency checkpoint at step 2
+    assert any("step-000000002" in str(c) for c in ckpts)
