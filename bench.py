@@ -82,6 +82,43 @@ def bench_vision(pipe, state, n_rays: int = 4096, iters: int = 5) -> float:
     return n_rays / dt
 
 
+def bench_audio_raf(n_rirs: int = 64, iters: int = 5) -> float:
+    """RAF full-band geometry (48 kHz, 513 bins, 60 frames, mono): grid-free
+    acoustic sweep + GL32 — BASELINE config #4's throughput."""
+    import jax.numpy as jnp
+
+    from neraf_tpu.configs.config import AudioModelConfig
+    from neraf_tpu.dsp.griffin_lim import griffin_lim
+    from neraf_tpu.dsp.stft import log_to_magnitude
+    from neraf_tpu.models.audio import AudioModel
+
+    key = jax.random.PRNGKey(0)
+    cfg = AudioModelConfig(dataset="RAF").resolve()
+    model = AudioModel(config=cfg, grid_feature_dim=1024,
+                       compute_dtype=jnp.bfloat16)
+    params = model.init(key)
+    aabb = jnp.asarray([[-3.0, -3.0, -3.0], [3.0, 3.0, 3.0]])
+    feat = jax.random.normal(key, (1024,))
+    mic = jax.random.uniform(key, (n_rirs, 3)) * 4 - 2
+    src = jnp.zeros((n_rirs, 3))
+    rot = jnp.full((n_rirs, 3), 0.5)
+
+    @jax.jit
+    def render(p, m, s, r):
+        log_pred = model.render_rirs_batch(p, m, s, r, aabb, grid_feature=feat)
+        mag = log_to_magnitude(log_pred.astype(jnp.float32))
+        return griffin_lim(mag, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
+                           win_length=cfg.win_len, key=key)
+
+    out = render(params, mic, src, rot)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render(params, mic, src, rot)
+    out.block_until_ready()
+    return n_rirs / ((time.perf_counter() - t0) / iters)
+
+
 def bench_train_step(pipe, state, iters: int = 10) -> float:
     """Full joint training step at production sizes (4096 rays + 2048 STFT
     slices + 4096-cell grid bake + resnet50(128^3) + 4 optimizer updates)."""
@@ -125,6 +162,7 @@ def main():
     rirs_per_sec = bench_audio(pipe, state)
     rays_per_sec = bench_vision(pipe, state)
     steps_per_sec = bench_train_step(pipe, state)
+    rirs_raf = bench_audio_raf()
 
     result = {
         "metric": "RIRs/sec/chip (STFT synth + Griffin-Lim); rays/sec volume render; T60 err parity",
@@ -134,6 +172,7 @@ def main():
         "extras": {
             "rays_per_sec": round(rays_per_sec, 1),
             "train_steps_per_sec": round(steps_per_sec, 2),
+            "rirs_per_sec_raf_48k": round(rirs_raf, 1),
             "rir_geometry": "SoundSpaces 257x78 binaural, grid 128^3, resnet50, GL32",
             "cuda_baseline_estimate_rirs_per_sec": CUDA_BASELINE_RIRS_PER_SEC,
         },
