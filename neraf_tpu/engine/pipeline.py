@@ -44,6 +44,7 @@ from neraf_tpu.models.grid import (
     fixed_viewing_directions,
     grid_to_volume,
     init_grid,
+    single_viewing_direction,
 )
 from neraf_tpu.models.resnet3d import ResNet3D
 from neraf_tpu.models.vision import VisionModel
@@ -84,7 +85,10 @@ class JointPipeline:
                                n_features=self.config.audio_model.n_features,
                                grid_step=self.config.audio_model.grid_step,
                                dtype=cdtype)
-        self.view_dirs = fixed_viewing_directions()
+        self.view_dirs = (
+            fixed_viewing_directions()
+            if self.config.audio_model.use_multiple_viewing_directions
+            else single_viewing_direction())
         import neraf_tpu.models.grid as grid_mod
 
         self.cells = jnp.asarray(grid_mod.cell_centers(self.grid_res))

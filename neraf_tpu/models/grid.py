@@ -31,6 +31,12 @@ GRID_CHANNELS = 7
 _DELTA = 1e-2  # reference NeRAF_model.py:191
 
 
+def single_viewing_direction() -> jnp.ndarray:
+    """use_multiple_viewing_directions=False: one +x query direction
+    (reference NeRAF_model.py:359-370)."""
+    return jnp.asarray([[1.0, 0.0, 0.0]], dtype=jnp.float32)
+
+
 def fixed_viewing_directions() -> jnp.ndarray:
     """The 18 reference view dirs (x==y quirk preserved, NeRAF_model.py:279-292)."""
     phis = [math.pi / 3, 0.0, -math.pi]

@@ -180,3 +180,21 @@ def test_joint_checkpoint_roundtrip(tmp_path):
                                         image_arrays)
     assert int(restored.step) == 4
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_single_viewing_direction_bake(tmp_path):
+    """use_multiple_viewing_directions=False bakes with one +x query dir."""
+    pipe, vds, ads, _ = _make_pipeline(tmp_path)
+    cfg2 = pipe.config
+    cfg2.audio_model.use_multiple_viewing_directions = False
+    pipe2 = JointPipeline(
+        config=cfg2, vision_model=pipe.vision_model, audio_model=pipe.audio_model,
+        audio_aabb=pipe.audio_aabb, vision_aabb=pipe.vision_aabb, grid_res=8)
+    assert pipe2.view_dirs.shape == (1, 3)
+    state = pipe2.init_state()
+    cam_arrays = camera_arrays(vds.cameras)
+    image_arrays = {"images": jnp.asarray(vds.images)}
+    audio_arrays = ads.slice_arrays()
+    state, metrics = pipe2.train_step(state, cam_arrays, audio_arrays, image_arrays)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(jnp.sum(jnp.abs(state.grid[:, :4]))) > 0
