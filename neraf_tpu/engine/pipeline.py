@@ -485,6 +485,99 @@ class JointPipeline:
             "fps": 1.0 / dt,
         }
 
+    def evaluate_audio_device(self, state: JointTrainState, dataset,
+                              key: jax.Array | None = None) -> dict:
+        """Fully on-device eval sweep: render + Griffin-Lim + batched
+        T60/EDT/C50 as ONE jitted computation (BASELINE config #5).
+
+        Uses the batched device estimators (metrics/room_acoustics.py),
+        which match the host reference implementations to ~2e-4; the
+        invalid-T60 -> 100% penalty masking is preserved. With a mesh set,
+        the RIR batch fans out over the data axis.
+        """
+        import functools
+
+        from neraf_tpu.metrics.room_acoustics import (
+            batched_clarity,
+            batched_edt,
+            batched_rt60,
+        )
+
+        cfg = self.audio_model.config
+        o = dataset.outputs
+        n = len(o.audio_filenames)
+        if n == 0:
+            return {}
+        key = jax.random.PRNGKey(0) if key is None else key
+        decay_db = 10.0 if cfg.dataset == "RAF" else 30.0
+
+        @functools.partial(jax.jit, static_argnames=())
+        def sweep(params, batch_stats, grid, mic, src, rot, gt_log, gt_wav, k):
+            if self.mesh is not None:
+                from neraf_tpu.parallel.sharding import shard_pytree_batch
+
+                mic = shard_pytree_batch(mic, self.mesh)
+                src = shard_pytree_batch(src, self.mesh)
+                rot = shard_pytree_batch(rot, self.mesh)
+            log_pred = self._render_rirs_impl(params, batch_stats, grid,
+                                              mic, src, rot)
+            mag_pred = log_to_magnitude(log_pred)
+            wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
+                                   hop_length=cfg.hop_len,
+                                   win_length=cfg.win_len, key=k)
+            # pad to GT length for the estimators
+            pad = gt_wav.shape[-1] - wav_pred.shape[-1]
+            if pad > 0:
+                wav_pred = jnp.pad(wav_pred, ((0, 0), (0, 0), (0, pad)))
+            else:
+                wav_pred = wav_pred[..., : gt_wav.shape[-1]]
+
+            if cfg.dataset == "RAF":
+                from neraf_tpu.metrics.room_acoustics import batched_rt60_advance
+
+                t60_gt = batched_rt60_advance(gt_wav, cfg.fs)
+                t60_pr = batched_rt60_advance(wav_pred, cfg.fs)
+            else:
+                t60_gt = batched_rt60(gt_wav, cfg.fs, decay_db=30)
+                t60_pr = batched_rt60(wav_pred, cfg.fs, decay_db=30)
+            # invalid (any channel < -0.5 on either side) -> penalty 1
+            invalid = jnp.any((t60_gt < -0.5) | (t60_pr < -0.5), axis=-1)
+            rel = jnp.mean(jnp.abs(t60_pr - t60_gt) / jnp.abs(t60_gt), axis=-1)
+            rel = jnp.where(invalid, 1.0, rel)
+
+            edt_gt = batched_edt(gt_wav, cfg.fs)
+            edt_pr = batched_edt(wav_pred, cfg.fs)
+            edt_err = jnp.mean(jnp.abs(edt_pr - edt_gt), axis=-1)
+
+            c50_gt = batched_clarity(gt_wav, cfg.fs)
+            c50_pr = batched_clarity(wav_pred, cfg.fs)
+            c50_err = jnp.mean(jnp.abs(c50_pr - c50_gt), axis=-1)
+
+            mag_gt = log_to_magnitude(gt_log)
+            quick = jnp.mean((mag_pred - mag_gt) ** 2) * 2
+            return {
+                "audio_T60_mean_error": jnp.mean(rel) * 100.0,
+                # host path averages the per-RIR 0/1 invalid flags
+                "audio_total_invalids_T60": jnp.mean(invalid.astype(jnp.float32)),
+                "audio_EDT": jnp.mean(edt_err),
+                "audio_C50": jnp.mean(c50_err),
+                "audio_mag": quick,
+            }
+
+        gt_wav = (jnp.asarray(dataset.waveforms) if dataset.waveforms is not None
+                  else jnp.zeros((n, cfg.mic_ch, cfg.max_len * cfg.hop_len)))
+        t0 = time.perf_counter()
+        out = sweep(state.params, state.batch_stats, state.grid,
+                    jnp.asarray(o.microphone_poses, jnp.float32),
+                    jnp.asarray(o.source_poses, jnp.float32),
+                    jnp.asarray(o.rotations, jnp.float32),
+                    jnp.asarray(dataset.log_stft), gt_wav, key)
+        out = {k: float(np.asarray(v)) for k, v in out.items()}
+        dt = time.perf_counter() - t0
+        out["fps_audio"] = n / dt
+        out["num_rays_per_sec_audio"] = n * cfg.max_len / dt
+        return out
+
     def evaluate_audio(self, state: JointTrainState, dataset,
                        key: jax.Array | None = None) -> dict:
         """All-eval-RIRs sweep with grid conditioning (eval-mode BN)."""

@@ -68,3 +68,20 @@ def test_query_grid_full(tmp_path):
     assert np.abs(g[:, :3]).sum() > 0
     # coords untouched
     np.testing.assert_allclose(g[:, 4:], np.asarray(pipe.cells), atol=1e-6)
+
+
+def test_evaluate_audio_device_matches_host(tmp_path):
+    """On-device batched eval sweep agrees with the host evaluator path."""
+    pipe, vds, ads, eval_ads = _make_pipeline(tmp_path)
+    state = pipe.init_state()
+
+    host = pipe.evaluate_audio(state, eval_ads)
+    dev = pipe.evaluate_audio_device(state, eval_ads)
+
+    np.testing.assert_allclose(dev["audio_C50"], host["audio_C50"], rtol=1e-3)
+    np.testing.assert_allclose(dev["audio_T60_mean_error"],
+                               host["audio_T60_mean_error"], rtol=1e-3)
+    # EDT can be NaN for degenerate untrained predictions on both paths
+    if np.isfinite(host["audio_EDT"]):
+        np.testing.assert_allclose(dev["audio_EDT"], host["audio_EDT"], rtol=1e-3)
+    assert dev["audio_total_invalids_T60"] == host["audio_total_invalids_T60"]
