@@ -491,9 +491,13 @@ class JointPipeline:
         T60/EDT/C50 as ONE jitted computation (BASELINE config #5).
 
         Uses the batched device estimators (metrics/room_acoustics.py),
-        which match the host reference implementations to ~2e-4; the
-        invalid-T60 -> 100% penalty masking is preserved. With a mesh set,
-        the RIR batch fans out over the data axis.
+        which match the host reference implementations to ~2e-4 on decaying
+        RIRs; the invalid-T60 -> 100% penalty masking is preserved. On
+        degenerate non-decaying signals the decay-crossing search can flip
+        borderline invalid flags relative to the host path, so the host
+        `evaluate_audio` remains the metric of record — this sweep is the
+        fast path for in-training monitoring (~14x faster end to end).
+        With a mesh set, the RIR batch fans out over the data axis.
         """
         import functools
 
