@@ -92,7 +92,9 @@ def main(argv=None):
     eval_fns = {
         "eval_vision": lambda s: pipe.evaluate_vision(
             s, eval_cam_arrays, bundle.vision_eval.images),
-        "eval_audio": lambda s: pipe.evaluate_audio(s, bundle.audio_eval),
+        # in-training cadence uses the ~14x-faster on-device sweep; the
+        # final neraf-eval run uses the host evaluator (metric of record)
+        "eval_audio": lambda s: pipe.evaluate_audio_device(s, bundle.audio_eval),
     }
 
     n_eval = len(bundle.vision_eval.cameras)
