@@ -79,3 +79,20 @@ def test_2d_mesh_tensor_sharding():
     x = jnp.ones((32, 256))
     out = f(sharded, x)
     np.testing.assert_allclose(np.asarray(out)[0, 0], 257.0, rtol=1e-6)
+
+
+def test_driver_dryrun_multichip_is_hermetic():
+    """The driver artifact: dryrun_multichip(8) must pass even when the
+    calling process has a backend already initialized / JAX_PLATFORMS pinned
+    elsewhere (round-1 failure mode, MULTICHIP_r01.json ok=false). The wrapper
+    re-execs a scrubbed-CPU child, so this validates the full DP x TP path
+    end-to-end exactly as the driver runs it."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        g = importlib.import_module("__graft_entry__")
+        g.dryrun_multichip(8)
+    finally:
+        sys.path.remove("/root/repo")
