@@ -37,6 +37,25 @@ from neraf_tpu.dsp.stft import log_to_magnitude
 from neraf_tpu.engine.optimizers import make_optimizer
 from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
 from neraf_tpu.metrics.image import psnr as psnr_fn, ssim as ssim_fn
+
+
+def _maybe_lpips(pred, gt) -> float | None:
+    """LPIPS when converted pretrained weights are available (reference
+    reports PSNR/SSIM/LPIPS per eval view, NeRAF_pipeline.py:328); None —
+    not NaN — when no weights resolve, so metric dicts stay JSON-clean."""
+    from neraf_tpu.metrics.lpips import (
+        load_params, lpips_distance, resolve_default_weights,
+    )
+
+    path = resolve_default_weights()
+    if path is None:
+        return None
+    params, net = load_params(str(path))
+    try:
+        return float(lpips_distance(
+            params, jnp.asarray(pred), jnp.asarray(gt), net=net))
+    except ValueError:  # image smaller than the backbone's minimum size
+        return None
 from neraf_tpu.models.audio import AudioModel
 from neraf_tpu.models.grid import (
     bake_cells,
@@ -353,6 +372,9 @@ class JointPipeline:
             "ssim": float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(gt_image))),
             "num_rays": H * W,
         }
+        lp = _maybe_lpips(out["rgb"], gt_image)
+        if lp is not None:
+            metrics["lpips"] = lp
         images = {"img": out["rgb"], "depth": out["depth"],
                   "accumulation": out["accumulation"]}
 
@@ -466,7 +488,7 @@ class JointPipeline:
         the average embedding.
         """
         n, H, W = images.shape[:3]
-        psnrs, ssims, times = [], [], []
+        psnrs, ssims, lpipss, times = [], [], [], []
         for i in range(n):
             t0 = time.perf_counter()
             out = self.render_image(state, cam_arrays, i, H, W,
@@ -476,14 +498,21 @@ class JointPipeline:
             gt = jnp.asarray(images[i])
             psnrs.append(float(psnr_fn(pred, gt)))
             ssims.append(float(ssim_fn(pred, gt)))
+            lp = _maybe_lpips(out["rgb"], images[i])
+            if lp is not None:
+                lpipss.append(lp)
         dt = float(np.mean(times))
-        return {
+        result = {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean(ssims)),
             "psnr_std": float(np.std(psnrs)),
             "num_rays_per_sec": H * W / dt,
             "fps": 1.0 / dt,
         }
+        if lpipss:
+            result["lpips"] = float(np.mean(lpipss))
+            result["lpips_std"] = float(np.std(lpipss))
+        return result
 
     def evaluate_audio_device(self, state: JointTrainState, dataset,
                               key: jax.Array | None = None) -> dict:

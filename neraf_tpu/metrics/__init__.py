@@ -20,6 +20,10 @@ from neraf_tpu.metrics.losses import (
 )
 from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
 from neraf_tpu.metrics.image import psnr, ssim
+# NOTE: the LPIPS *function* is neraf_tpu.metrics.image.lpips; the name
+# `neraf_tpu.metrics.lpips` is the implementation submodule (backbones,
+# converter, weight IO) and is deliberately not shadowed here.
+from neraf_tpu.metrics import lpips  # noqa: F401  (submodule re-export)
 
 __all__ = [
     "measure_rt60",
@@ -38,6 +42,7 @@ __all__ = [
     "spectral_loss",
     "RAFEvaluator",
     "SoundSpacesEvaluator",
+    "lpips",
     "psnr",
     "ssim",
 ]

@@ -74,11 +74,20 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.nd
 
 
 def lpips(pred: jnp.ndarray, target: jnp.ndarray, weights_path: str | None = None) -> jnp.ndarray:
-    """LPIPS perceptual distance. Requires pretrained backbone weights.
+    """LPIPS perceptual distance (reference: torchmetrics LPIPS with
+    normalize=True, invoked via Nerfacto at NeRAF_pipeline.py:328).
 
-    Without a weights file this returns NaN (clearly marked as unavailable)
-    rather than silently substituting a different metric.
+    Full JAX implementation in neraf_tpu.metrics.lpips; needs converted
+    pretrained weights (no network egress here to fetch them). Weight
+    resolution order: explicit `weights_path` arg, `NERAF_LPIPS_WEIGHTS` env
+    var, `~/.cache/neraf/lpips_{alex,vgg}.npz`. Without any weights file this
+    returns NaN (clearly marked unavailable) rather than silently substituting
+    a different metric.
     """
-    if weights_path is None:
+    from neraf_tpu.metrics import lpips as _lpips_mod
+
+    path = weights_path or _lpips_mod.resolve_default_weights()
+    if path is None:
         return jnp.asarray(jnp.nan)
-    raise NotImplementedError("LPIPS weight loading lands with the pretrained-asset loader")
+    params, net = _lpips_mod.load_params(str(path))
+    return _lpips_mod.lpips_distance(params, jnp.asarray(pred), jnp.asarray(target), net=net)
