@@ -85,11 +85,16 @@ class VisionModelConfig:
 
     Two position-encoding backends:
     - "fourier" (default): sinusoidal PE + a deep base MLP (mip-NeRF-360
-      style). Zero gathers — everything lands on the MXU, which measures
-      ~1000x faster than gather-based encodings on the target TPU backend.
-    - "hash": instant-NGP multires hash grid + shallow MLP (reference tcnn
-      parity). Gather-bound; on backends with fast gathers this is the
-      quality/speed tradeoff the reference ships.
+      style). Zero gathers — everything lands on the MXU, far faster than
+      gather-based encodings on the target TPU backend.
+    - "hash": instant-NGP multires hash grid + shallow MLP (the reference's
+      tcnn substrate). Gather-bound; the TPU-tuned default layout is L8xF4
+      (same 32-dim output and table bytes as tcnn's L16xF2 but half the
+      gather rows — the measured cost driver, docs/HASH_PERF.md). Set
+      num_levels=16, features_per_level=2 for strict tcnn-parity layout.
+      With "hash", proposal fields stay on fourier by default
+      (proposal_encoding) — proposal stages evaluate ~7x more points than
+      the final field, so putting gathers there dominates step time.
     """
 
     encoding: str = "fourier"  # "fourier" | "hash"
@@ -98,11 +103,12 @@ class VisionModelConfig:
     base_mlp_width: int = 256
     base_mlp_layers: int = 4
     # hash encoding
-    num_levels: int = 16
-    features_per_level: int = 2
+    num_levels: int = 8
+    features_per_level: int = 4
     log2_hashmap_size: int = 19
     base_res: int = 16
     max_res: int = 2048
+    proposal_encoding: str = "fourier"  # encoding for proposal density fields
     # field MLPs
     hidden_dim: int = 64
     hidden_dim_color: int = 64

@@ -63,9 +63,9 @@ class VisionModel:
 
     def proposal(self, level: int) -> ProposalDensityField:
         max_res = 128 if level == 0 else 256
+        prop_enc = getattr(self.config, "proposal_encoding", "fourier")
         return ProposalDensityField(
-            spec=ProposalFieldSpec(encoding=self.config.encoding,
-                                   max_res=max_res),
+            spec=ProposalFieldSpec(encoding=prop_enc, max_res=max_res),
             average_init_density=self.config.average_init_density,
             dtype=self.compute_dtype,
         )

@@ -6,17 +6,22 @@ from base_res to max_res, each backed by a 2^log2_table_size feature table;
 a query trilinearly interpolates the 8 surrounding corners per level and
 concatenates level features.
 
-Design notes (TPU):
-- Tables are a single (L, 2^T, F) array. Coarse levels whose dense grid fits
-  the table use direct (collision-free) linear indexing into the same buffer;
-  fine levels use the instant-NGP XOR-prime hash. Uniform shapes keep the
-  whole encoding one fused XLA computation (no per-level ragged buffers).
-- The gather runs as one batched take along the table axis; its transpose
-  (scatter-add) is generated by XLA for the backward pass. A Pallas kernel
-  with VMEM-resident coarse levels is the planned fast path
-  (neraf_tpu/ops/pallas/), behind the same function signature.
-- All 8 corners x L levels are materialized as one (L, B, 8) index tensor:
-  large-batch friendly, MXU-free but bandwidth-optimal.
+Design notes (TPU, from measured axon-backend cost model — see
+docs/HASH_PERF.md):
+- Gather cost on this backend is ~5-6 ns PER ROW, nearly independent of row
+  width up to 16 bytes (F=4 fp32); sliced gathers (slice_sizes > 1 row) are
+  ~280x slower and Mosaic/Pallas rejects vectorized dynamic indexing
+  ("Cannot do int indexing on TPU"). Therefore the only lever is ROW COUNT.
+- The encoding is ONE flat advanced-index gather over a (L*2^T, F) view of
+  the table: all levels x corners x batch in a single gather (a 16-level
+  loop of take_along_axis measured 3.6x slower than the fused form).
+- Coarse levels whose dense grid fits the table use direct (collision-free)
+  linear indexing into the same buffer; fine levels use the instant-NGP
+  XOR-prime hash.
+- Preferred capacity layout is FEWER levels x MORE features per level
+  (L8xF4 halves gather rows vs tcnn's L16xF2 at identical out_dim and table
+  bytes); VisionModelConfig defaults to that, with L16xF2 reachable by
+  config for strict tcnn-parity experiments.
 """
 
 from __future__ import annotations
@@ -122,12 +127,15 @@ def hash_encoding(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp
     w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
     weights = jnp.prod(w, axis=-1)
 
-    # gather: per level take_along_axis over the table axis
-    feats = jnp.take_along_axis(
-        table, idx.reshape(spec.num_levels, -1, 1), axis=1
-    )  # (L, B*8, F)
+    # ONE fused gather over all levels x corners: flatten the table to
+    # (L*T, F) and offset each level's indices by level*T. Row count is the
+    # measured cost driver on this backend; a per-level gather loop is ~3.6x
+    # slower for identical rows.
+    level_offset = (jnp.arange(spec.num_levels, dtype=jnp.int32) * spec.table_size)
+    flat_idx = (idx + level_offset[:, None, None]).reshape(-1)  # (L*B*8,)
+    feats = table.reshape(-1, spec.features_per_level)[flat_idx]
     feats = feats.reshape(spec.num_levels, B, 8, spec.features_per_level)
 
-    out = jnp.sum(feats * weights[..., None], axis=2)  # (L, B, F)
+    out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # (L, B, F)
     out = jnp.moveaxis(out, 0, 1).reshape(B, spec.out_dim)
     return out.reshape(*lead, spec.out_dim)
