@@ -17,8 +17,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neraf_tpu.dsp.stft import istft, stft_complex
+
+# 'auto' switches to the fused Pallas kernel at this many (..., F, T)
+# channels — the measured v5e crossover vs the XLA matmul path
+_PALLAS_MIN_CHANNELS = 512
 
 
 @functools.partial(
@@ -37,7 +42,7 @@ def griffin_lim(
     length: int | None = None,
     key: jax.Array | None = None,
     rand_init: bool = True,
-    method: str = "matmul",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Recover a waveform from a magnitude spectrogram.
 
@@ -45,9 +50,14 @@ def griffin_lim(
         magnitude: (..., F, T) non-negative magnitudes, F = n_fft//2+1.
         length: output waveform length; default (T-1)*hop.
         key: PRNG key for the random phase init (required if rand_init).
-        method: 'matmul' (default) runs the whole loop in real arithmetic
-            with DFTs as MXU matmuls — fully fusable, no FFT custom-calls,
-            no complex dtype; 'fft' uses jnp.fft (identical math).
+        method: 'auto' (default) selects 'pallas' when the batch has at
+            least _PALLAS_MIN_CHANNELS channels AND the current backend
+            compiles the fused VMEM-resident TPU kernel for this geometry
+            (AOT-probed, cached; ~2.1x the matmul path on v5e at scale),
+            else 'matmul'; 'matmul' runs the whole loop in real arithmetic with
+            DFTs as MXU matmuls — fully fusable, no FFT custom-calls, no
+            complex dtype; 'fft' uses jnp.fft (identical math); 'pallas'
+            forces the fused kernel (ops/pallas/griffin_lim_kernel.py).
     Returns:
         (..., length) real waveform.
     """
@@ -58,6 +68,20 @@ def griffin_lim(
     mom = momentum / (1.0 + momentum)
     mag = magnitude.astype(jnp.float32)
 
+    if method == "auto":
+        from neraf_tpu.ops.pallas.griffin_lim_kernel import pallas_gl_available
+
+        F_dim, T = magnitude.shape[-2:]
+        n_channels = int(np.prod(magnitude.shape[:-2]))
+        # the kernel requires length == hop*(T-1) (OLA scratch layout); below
+        # ~512 channels its per-dispatch overhead loses to the XLA path
+        # (measured v5e: 128ch 32ms vs 29ms, 1152ch 89ms vs 148ms)
+        ok = (n_channels >= _PALLAS_MIN_CHANNELS
+              and length == hop_length * (T - 1)
+              and pallas_gl_available(n_fft, hop_length, win_length, F_dim,
+                                      T, length, n_iter))
+        method = "pallas" if ok else "matmul"
+
     if rand_init:
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -66,6 +90,14 @@ def griffin_lim(
     else:
         aR0 = jnp.ones_like(mag)
         aI0 = jnp.zeros_like(mag)
+
+    if method == "pallas":
+        from neraf_tpu.ops.pallas.griffin_lim_kernel import griffin_lim_pallas
+
+        return griffin_lim_pallas(
+            mag, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+            n_iter=n_iter, momentum=momentum, length=length,
+            init_angles=(aR0, aI0))
 
     if method == "matmul":
         return _griffin_lim_matmul(mag, aR0, aI0, n_fft, hop_length, win_length,

@@ -14,13 +14,14 @@ zero-padded window, so any win_length works).
 Matches the torchaudio-convention GL loop bit-for-bit within float tolerance
 (see tests/test_pallas_gl.py parity check against the XLA path).
 
-BACKEND STATUS: correct under the Pallas interpreter (parity-tested); on the
-current remote-compile axon backend the Mosaic compiler subprocess crashes
-(HTTP 500, no diagnostic) on this kernel's slice-accumulation/reshape
-structure regardless of block size or iteration count — simple matmul/
-reshape/pad kernels compile fine in isolation. The XLA matmul-DFT path
-(dsp/griffin_lim.py, ~30 ms for 128 GL-32 channels) remains the production
-default; revisit when the backend's Mosaic toolchain is fixed.
+BACKEND STATUS: COMPILES AND RUNS on the v5e backend (2026-08-16). The
+round-1 Mosaic crash (remote-compile HTTP 500, no diagnostic) was minimized
+to one construct: a lane-axis concat of differently row-shifted VALUE slices
+(see ops/pallas/gl_crash_repro.py). The reframe step now stages the padded
+signal in a VMEM scratch and concats REF slices instead, which Mosaic
+accepts. Production dispatch: dsp/griffin_lim.py method='auto' selects this
+kernel when `pallas_gl_available(...)` confirms the current backend compiles
+it for the requested geometry, else the XLA matmul-DFT path.
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ def _make_kernel(M_blk: int, F: int, T: int, n_fft: int, hop: int,
 
     def kernel(mag_ref, aR0_ref, aI0_ref, Cr_ref, Ci_ref, Ar_ref, Ai_ref,
                win_ref, wsq_ref, rev_ref, wav_ref,
-               sig_scr, aR_scr, aI_scr, tR_scr, tI_scr):
+               sig_scr, pad_scr, frames_scr, aR_scr, aI_scr, tR_scr, tI_scr):
         # mag/aR/aI: (M_blk, T, F) time-major; win: (1, n_fft);
         # wsq: (1, length); rev: (pad, pad); wav out: (M_blk, length)
         aR_scr[:] = aR0_ref[:]
@@ -94,11 +95,22 @@ def _make_kernel(M_blk: int, F: int, T: int, n_fft: int, hop: int,
                            preferred_element_type=jnp.float32)
             right = jnp.dot(core[:, length - pad - 1 : length - 1], rev_ref[:],
                             preferred_element_type=jnp.float32)
-            padded = jnp.concatenate([left, core, right], axis=-1)
+            # Stage the padded signal in a scratch, then copy row-shifted
+            # strips Ref->Ref into a frames scratch (NO concat): Mosaic
+            # crashes (remote-compile HTTP 500) on a lane-axis concat of
+            # differently row-shifted slices — value slices always, ref
+            # slices whenever the lane dim exceeds 128 (hop=256, RAF) — but
+            # accepts shifted strip copies between Refs at any hop. See
+            # ops/pallas/gl_crash_repro.py for the minimized repro.
+            pad_scr[:, 0:pad_rows, :] = left.reshape(M_blk, pad_rows, hop)
+            pad_scr[:, pad_rows : pad_rows + T - 1, :] = core.reshape(
+                M_blk, T - 1, hop)
+            pad_scr[:, pad_rows + T - 1 : rows, :] = right.reshape(
+                M_blk, pad_rows, hop)
             # strip framing: rows of hop samples, frame f = rows f..f+q-1
-            padded_rows = padded.reshape(M_blk, rows, hop)
-            strips = [padded_rows[:, c : c + T, :] for c in range(q)]
-            return jnp.concatenate(strips, axis=-1) * win
+            for c in range(q):
+                frames_scr[:, :, c * hop : (c + 1) * hop] = pad_scr[:, c : c + T, :]
+            return frames_scr[:] * win
 
         def body(i, _):
             pR = mag * aR_scr[:]
@@ -238,14 +250,48 @@ def griffin_lim_pallas(
         out_shape=jax.ShapeDtypeStruct((Mp, length), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block, rows, hop_length), jnp.float32),  # signal
+            pltpu.VMEM((block, rows, hop_length), jnp.float32),  # padded reframe
+            pltpu.VMEM((block, T, n_fft), jnp.float32),  # reframed strips
             pltpu.VMEM((block, T, F_dim), jnp.float32),  # aR
             pltpu.VMEM((block, T, F_dim), jnp.float32),  # aI
             pltpu.VMEM((block, T, F_dim), jnp.float32),  # tR
             pltpu.VMEM((block, T, F_dim), jnp.float32),  # tI
         ],
         interpret=interpret,
+        # the kernel sits near the default 16 MB scoped-vmem budget once XLA
+        # double-buffers its block inputs inside a larger jit; raise the cap
+        # (v5e has 128 MB VMEM) so inlining into eval sweeps can't stack-OOM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(mag, aR0, aI0, jnp.asarray(Cr), jnp.asarray(Ci), jnp.asarray(Ar),
       jnp.asarray(Ai), jnp.asarray(w)[None, :], jnp.asarray(wsq)[None, :],
       jnp.asarray(rev))
 
     return out[:M].reshape(*lead, length) if lead else out[0]
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_gl_available(n_fft: int, hop_length: int, win_length: int,
+                        n_freq: int, n_frames: int, length: int | None = None,
+                        n_iter: int = 32, block: int = 8) -> bool:
+    """True iff the fused kernel compiles on the current backend for this
+    exact geometry (the skip-unless-compiles canary; cached per geometry).
+
+    Probes an ahead-of-time compile of the real kernel — not a heuristic —
+    so a backend regression (or fix) flips dispatch automatically.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    if n_fft % hop_length or (n_fft // 2) % hop_length:
+        return False  # kernel preconditions
+    try:
+        mag = jax.ShapeDtypeStruct((block, n_freq, n_frames), jnp.float32)
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        griffin_lim_pallas.lower(
+            mag, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+            n_iter=n_iter, length=length, key=key, block=block).compile()
+        return True
+    except Exception:
+        return False
