@@ -7,6 +7,8 @@ is a dependency-free equivalent: a stdlib HTTP server exposing
   GET /                 — minimal HTML front end (orbit with arrow keys)
   GET /render?theta=..&phi=..&radius=..&w=..&h=..  — PNG render of that view
   GET /rir?x=..&y=..&z=..                          — WAV RIR at a mic position
+  GET /auralize?x=..&y=..&z=..&file=dry.wav        — wet WAV (server-side dry file)
+  POST /auralize?x=..&y=..&z=..  (body = dry WAV)  — wet WAV (uploaded dry audio)
   GET /state                                        — JSON scene info
 
 Rendering runs through the same chunked eval path as neraf-eval. Start with
@@ -92,9 +94,9 @@ class ViewerBackend:
         Image.fromarray(rgb).save(buf, format="PNG")
         return buf.getvalue()
 
-    def render_rir_wav(self, mic: np.ndarray) -> bytes:
+    def predict_rir(self, mic: np.ndarray) -> np.ndarray:
+        """Render the (C, L) RIR waveform at a mic position."""
         import jax.numpy as jnp
-        from scipy.io import wavfile
 
         from neraf_tpu.viz.auralization import rir_from_log_stft
 
@@ -107,11 +109,51 @@ class ViewerBackend:
                 jnp.asarray(mic, jnp.float32)[None],
                 jnp.asarray(src, jnp.float32)[None],
                 jnp.asarray(rot)[None])[0]
-        wav = rir_from_log_stft(np.asarray(log_pred), n_fft=cfg.n_fft,
-                                hop_len=cfg.hop_len, win_len=cfg.win_len)
+        return rir_from_log_stft(np.asarray(log_pred), n_fft=cfg.n_fft,
+                                 hop_len=cfg.hop_len, win_len=cfg.win_len)
+
+    def _wav_bytes(self, wav: np.ndarray) -> bytes:
+        from scipy.io import wavfile
+
         buf = io.BytesIO()
-        wavfile.write(buf, cfg.fs, np.asarray(wav, np.float32).T)
+        wavfile.write(buf, self.pipeline.audio_model.config.fs,
+                      np.asarray(wav, np.float32).T)
         return buf.getvalue()
+
+    def render_rir_wav(self, mic: np.ndarray) -> bytes:
+        return self._wav_bytes(self.predict_rir(mic))
+
+    def auralize_wav(self, mic: np.ndarray, wav_bytes: bytes) -> bytes:
+        """Dry WAV bytes -> wet WAV convolved with the RIR at `mic`.
+
+        The viewer auralization button of the reference
+        (NeRAF_model.py:221-267: input wav, truncated to 5 s, fftconvolved
+        per RIR channel — incl. the fix for its undefined-var bug at :264).
+        """
+        from scipy.io import wavfile
+
+        from neraf_tpu.dsp.resample import resample_poly
+        from neraf_tpu.viz.auralization import auralize
+
+        cfg = self.pipeline.audio_model.config
+        in_fs, dry = wavfile.read(io.BytesIO(wav_bytes))
+        dry = np.asarray(dry, np.float32)
+        if dry.dtype != np.float32 or np.abs(dry).max() > 1.5:
+            dry = dry / 32768.0  # int16 PCM
+        if dry.ndim == 2:
+            dry = dry.mean(axis=-1)
+        if in_fs != cfg.fs:
+            import math
+
+            g = math.gcd(int(cfg.fs), int(in_fs))
+            dry = np.asarray(resample_poly(dry, cfg.fs // g, in_fs // g),
+                             np.float32)
+        rir = self.predict_rir(mic)
+        wet = auralize(dry, rir, cfg.fs)
+        peak = np.abs(wet).max()
+        if peak > 1.0:
+            wet = wet / peak
+        return self._wav_bytes(wet)
 
     def scene_state(self) -> dict:
         return {
@@ -149,12 +191,42 @@ def make_handler(backend: ViewerBackend):
                     mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
                                     float(q.get("z", 0))])
                     self._send(200, backend.render_rir_wav(mic), "audio/wav")
+                elif url.path == "/auralize":
+                    # GET variant: convolve a server-side dry WAV file
+                    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
+                                    float(q.get("z", 0))])
+                    path = q.get("file")
+                    if not path:
+                        self._send(400, b"missing ?file= (or POST a wav body)",
+                                   "text/plain")
+                    else:
+                        with open(path, "rb") as f:
+                            body = f.read()
+                        self._send(200, backend.auralize_wav(mic, body),
+                                   "audio/wav")
                 elif url.path == "/state":
                     self._send(200, json.dumps(backend.scene_state()).encode(),
                                "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
             except Exception as e:  # surface render errors to the client
+                self._send(500, str(e).encode(), "text/plain")
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/auralize":
+                    # POST body = dry WAV -> wet WAV at the queried mic pose
+                    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
+                                    float(q.get("z", 0))])
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n)
+                    self._send(200, backend.auralize_wav(mic, body),
+                               "audio/wav")
+                else:
+                    self._send(404, b"not found", "text/plain")
+            except Exception as e:
                 self._send(500, str(e).encode(), "text/plain")
 
     return Handler

@@ -43,3 +43,51 @@ def test_viewer_endpoints(tmp_path):
         assert "audio_aabb" in st
     finally:
         server.shutdown()
+
+
+def _dry_wav_bytes(fs: int, seconds: float = 0.05) -> bytes:
+    import io
+
+    from scipy.io import wavfile
+
+    t = np.arange(int(fs * seconds)) / fs
+    dry = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, fs, dry)
+    return buf.getvalue()
+
+
+def test_viewer_auralize_endpoint(tmp_path):
+    """POST /auralize: dry WAV body -> wet WAV convolved with the predicted
+    RIR at the queried mic pose (reference NeRAF_model.py:221-267)."""
+    pipe, _, _, _ = _make_pipeline(tmp_path)
+    state = pipe.init_state()
+    backend = ViewerBackend(pipe, state)
+    server = serve(backend, port=0, blocking=False)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    fs = pipe.audio_model.config.fs
+    try:
+        req = urllib.request.Request(
+            f"{base}/auralize?x=0&y=0&z=0", data=_dry_wav_bytes(fs),
+            method="POST", headers={"Content-Type": "audio/wav"})
+        wet = urllib.request.urlopen(req).read()
+        assert wet[:4] == b"RIFF"
+        # binaural SoundSpaces model -> 2-channel wet audio, in [-1, 1]
+        import io
+
+        from scipy.io import wavfile
+
+        got_fs, data = wavfile.read(io.BytesIO(wet))
+        assert got_fs == fs
+        assert data.ndim == 2 and data.shape[1] == 2
+        assert np.abs(data).max() <= 1.0 + 1e-6
+
+        # GET variant with a server-side dry file (resample path: 48k -> fs)
+        dry_path = tmp_path / "dry48k.wav"
+        dry_path.write_bytes(_dry_wav_bytes(48000))
+        wet2 = urllib.request.urlopen(
+            f"{base}/auralize?x=0&y=0&z=0&file={dry_path}").read()
+        assert wet2[:4] == b"RIFF"
+    finally:
+        server.shutdown()
