@@ -18,6 +18,7 @@ from neraf_tpu.configs.config import default_config
 from neraf_tpu.data.vision_data import camera_arrays
 from neraf_tpu.engine.factory import build_pipeline
 from neraf_tpu.engine.trainer import Trainer
+from neraf_tpu.viz.panels import save_eval_images
 
 
 def parse_args(argv=None):
@@ -98,11 +99,27 @@ def main(argv=None):
     }
 
     n_eval = len(bundle.vision_eval.cameras)
+    n_eval_audio = len(bundle.audio_eval.outputs.audio_filenames)
+    eval_img_dir = trainer.output_dir / "eval_images"
 
     def eval_image_fn(s, step):
         idx = (step // cfg.trainer.steps_per_eval_image - 1) % n_eval
-        metrics, _ = pipe.eval_image(s, eval_cam_arrays, idx,
-                                     bundle.vision_eval.images[idx])
+        audio_item = None
+        if n_eval_audio:
+            a = bundle.audio_eval
+            j = (step // cfg.trainer.steps_per_eval_image - 1) % n_eval_audio
+            audio_item = {
+                "mic_pose": a.outputs.microphone_poses[j],
+                "source_pose": a.outputs.source_poses[j],
+                "rot": a.outputs.rotations[j],
+                "data": a.log_stft[j],
+            }
+        metrics, images = pipe.eval_image(s, eval_cam_arrays, idx,
+                                          bundle.vision_eval.images[idx],
+                                          eval_audio_item=audio_item)
+        # persist the comparison panels like the reference's eval sweep does
+        # (reference NeRAF_pipeline.py:329-338 saves PNGs per eval view)
+        save_eval_images(images, eval_img_dir, step)
         return metrics
 
     state = trainer.train(

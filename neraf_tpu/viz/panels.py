@@ -30,6 +30,36 @@ def stft_comparison_panel(pred_log: np.ndarray, gt_log: np.ndarray) -> np.ndarra
     return np.concatenate([_viridis(pred_n), _viridis(gt_n)], axis=1)
 
 
+def save_eval_images(images: dict, out_dir, step: int) -> list:
+    """Persist an eval_image() images dict as PNGs under out_dir.
+
+    The reference saves per-view eval renders + STFT panels during its eval
+    sweep (NeRAF_pipeline.py:329-338); this is the in-training analogue for
+    the pipeline.eval_image outputs (rgb in [0,1], scalar depth/accumulation
+    maps, colormapped comparison panels). Returns the written paths.
+    """
+    from pathlib import Path
+
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for name, img in images.items():
+        arr = np.asarray(img, dtype=np.float32)
+        if arr.ndim == 2:  # scalar map -> viridis
+            lo, hi = arr.min(), arr.max()
+            arr = _viridis((arr - lo) / max(hi - lo, 1e-9))
+        elif arr.ndim == 3 and arr.shape[-1] == 1:
+            a = arr[..., 0]
+            lo, hi = a.min(), a.max()
+            arr = _viridis((a - lo) / max(hi - lo, 1e-9))
+        path = out_dir / f"step_{step:07d}_{name}.png"
+        Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+        written.append(path)
+    return written
+
+
 def grid_top_view(grid_flat: np.ndarray, grid_res: int) -> dict:
     """(N_cells, 7) baked grid -> mean-over-height color and density maps."""
     vol = np.asarray(grid_flat).reshape(grid_res, grid_res, grid_res, 7)

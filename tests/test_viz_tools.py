@@ -7,7 +7,11 @@ import jax.numpy as jnp
 from neraf_tpu.data.preprocess import process_rir_wav, process_scene
 from neraf_tpu.viz.auralization import auralize, rir_from_log_stft
 from neraf_tpu.viz.loudness import loudness_map, render_loudness_grid
-from neraf_tpu.viz.panels import grid_top_view, stft_comparison_panel
+from neraf_tpu.viz.panels import (
+    grid_top_view,
+    save_eval_images,
+    stft_comparison_panel,
+)
 
 from fixtures import make_soundspaces_scene
 
@@ -52,6 +56,30 @@ def test_stft_comparison_panel():
     panel = stft_comparison_panel(pred, gt)
     assert panel.shape == (33, 40, 3)
     assert panel.min() >= 0 and panel.max() <= 1
+
+
+def test_save_eval_images(tmp_path):
+    """The in-training eval-image PNG dump (reference saves per-view PNGs
+    during its sweep, NeRAF_pipeline.py:329-338) handles every image kind
+    eval_image emits: rgb (H,W,3), scalar maps (H,W)/(H,W,1), panels."""
+    rng = np.random.default_rng(0)
+    images = {
+        "img": rng.random((8, 8, 3)).astype(np.float32),
+        "depth": rng.random((8, 8, 1)).astype(np.float32) * 9.0,
+        "accumulation": rng.random((8, 8)).astype(np.float32),
+        "comparison_ch_0": stft_comparison_panel(
+            rng.standard_normal((33, 10)).astype(np.float32),
+            rng.standard_normal((33, 10)).astype(np.float32)),
+    }
+    out_dir = tmp_path / "eval_images"
+    written = save_eval_images(images, out_dir, step=1234)
+    assert len(written) == 4
+    from PIL import Image
+
+    for p in written:
+        assert p.exists() and "step_0001234_" in p.name
+        img = np.asarray(Image.open(p))
+        assert img.ndim == 3 and img.shape[-1] == 3  # all normalized to RGB
 
 
 def test_grid_top_view():
