@@ -38,7 +38,11 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
-    steps = sorted(ckpt_dir.glob("step-*"))
+    # skip "*.orbax-checkpoint-tmp" dirs: a crash mid-save leaves one behind
+    # and orbax refuses to restore it — resume must fall back to the last
+    # COMPLETE checkpoint
+    steps = sorted(p for p in ckpt_dir.glob("step-*")
+                   if not p.name.endswith(".orbax-checkpoint-tmp"))
     return steps[-1] if steps else None
 
 

@@ -84,6 +84,11 @@ def test_checkpoint_roundtrip(tmp_path):
     path = save_checkpoint(tmp_path / "ckpts", int(state.step), state)
     assert latest_checkpoint(tmp_path / "ckpts") == path
 
+    # a crash mid-save leaves an incomplete *.orbax-checkpoint-tmp dir;
+    # resume must skip it and pick the last COMPLETE checkpoint
+    (tmp_path / "ckpts" / "step-000000099.orbax-checkpoint-tmp").mkdir()
+    assert latest_checkpoint(tmp_path / "ckpts") == path
+
     template = engine.init_state()
     restored = restore_checkpoint(path, template)
     assert int(restored.step) == 1
