@@ -81,6 +81,31 @@ def test_2d_mesh_tensor_sharding():
     np.testing.assert_allclose(np.asarray(out)[0, 0], 257.0, rtol=1e-6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_eval_audio_device(tmp_path):
+    """The on-device eval sweep fans RIRs out over the mesh's data axis and
+    matches the unsharded sweep (engine/pipeline.py evaluate_audio_device)."""
+    from fixtures import make_soundspaces_scene
+    from neraf_tpu.data.datasets import load_soundspaces_dataset
+
+    pipe, _, _, _ = _make_pipeline(tmp_path)
+    # eval split with 8 RIRs so the sweep shards evenly over the 8-way mesh
+    scene = make_soundspaces_scene(tmp_path / "eval8", n_points=4, n_train=4,
+                                   n_test=8, max_frames=12)
+    eval8 = load_soundspaces_dataset(scene, "test", max_len=12)
+    state = pipe.init_state()
+
+    pipe.mesh = make_mesh(8)
+    sharded = pipe.evaluate_audio_device(state, eval8)
+    pipe.mesh = None
+    unsharded = pipe.evaluate_audio_device(state, eval8)
+
+    for k in ("audio_T60_mean_error", "audio_EDT", "audio_C50", "audio_mag"):
+        assert np.isfinite(sharded[k]), k
+        np.testing.assert_allclose(sharded[k], unsharded[k], rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_driver_dryrun_multichip_is_hermetic():
     """The driver artifact: dryrun_multichip(8) must pass even when the
     calling process has a backend already initialized / JAX_PLATFORMS pinned
