@@ -33,6 +33,9 @@ def parse_args(argv=None):
                    help="train the grid-free acoustic field only")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--viewer-port", type=int, default=None,
+                   help="serve the HTTP viewer on this port during training "
+                        "(renders track the latest train state)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -122,6 +125,37 @@ def main(argv=None):
         save_eval_images(images, eval_img_dir, step)
         return metrics
 
+    on_metrics = None
+    if args.viewer_port is not None:
+        # live-training viewer (ns-viewer-during-train analogue): serve the
+        # HTTP viewer in a daemon thread, refreshed on the metrics cadence.
+        # Two hard constraints on this backend: (1) train_step donates its
+        # input state, so the viewer must render from an undonated COPY —
+        # the live state's buffers are deleted one step later; (2) the jax
+        # client aborts on concurrent dispatch from a second host thread,
+        # so handler threads marshal device work onto the training thread
+        # via TrainThreadDispatcher, pumped on the metrics cadence.
+        import jax as _jax
+
+        from neraf_tpu.viz.viewer import (
+            TrainThreadDispatcher,
+            ViewerBackend,
+            serve,
+        )
+
+        def snapshot(s):
+            return _jax.tree_util.tree_map(lambda x: x.copy(), s)
+
+        dispatcher = TrainThreadDispatcher()
+        backend = ViewerBackend(pipe, snapshot(state), dispatch=dispatcher)
+        serve(backend, port=args.viewer_port, blocking=False)
+        print(f"viewer at http://127.0.0.1:{args.viewer_port}")
+
+        def on_metrics(step, scalars):
+            backend.state = snapshot(trainer._latest_state)
+            backend.step_hint = step
+            dispatcher.pump()
+
     state = trainer.train(
         state,
         step_fn=lambda s: pipe.train_step(s, cam_arrays, audio_arrays, image_arrays),
@@ -130,6 +164,7 @@ def main(argv=None):
             s, eval_cam_arrays, audio_arrays, eval_image_arrays),
         eval_image_fn=eval_image_fn,
         max_steps=args.max_iters,
+        on_metrics=on_metrics,
     )
 
 

@@ -66,14 +66,70 @@ def _orbit_camera(theta: float, phi: float, radius: float) -> np.ndarray:
     return c2w
 
 
-class ViewerBackend:
-    """Bridges HTTP requests to pipeline renders; one render at a time."""
+class TrainThreadDispatcher:
+    """Marshals viewer device work onto the training thread.
 
-    def __init__(self, pipeline, state, fs: int = 22050):
+    Some jax clients (the axon tunnel) abort the process when two host
+    threads dispatch device computations concurrently, so during live
+    training the HTTP handler threads must not touch the device directly:
+    they enqueue a thunk here and block; the training loop calls pump() on
+    its logging cadence and executes pending thunks on its own thread.
+    """
+
+    def __init__(self, timeout_s: float = 300.0):
+        import queue
+
+        self._queue = queue.Queue()
+        self.timeout_s = timeout_s
+
+    def __call__(self, fn):
+        ev = threading.Event()
+        box = {}
+        self._queue.put((fn, ev, box))
+        if not ev.wait(self.timeout_s):
+            raise TimeoutError(
+                "training loop did not service the viewer request "
+                f"within {self.timeout_s:.0f}s")
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
+
+    def pump(self) -> int:
+        """Run pending viewer thunks on the calling (training) thread."""
+        import queue
+
+        n = 0
+        while True:
+            try:
+                fn, ev, box = self._queue.get_nowait()
+            except queue.Empty:
+                return n
+            try:
+                box["out"] = fn()
+            except Exception as e:  # surfaced to the waiting handler
+                box["err"] = e
+            ev.set()
+            n += 1
+
+
+class ViewerBackend:
+    """Bridges HTTP requests to pipeline renders; one render at a time.
+
+    dispatch: optional callable wrapping every device computation (see
+    TrainThreadDispatcher). Default runs it inline (standalone neraf-viewer,
+    where the handler thread is the only device user).
+    """
+
+    def __init__(self, pipeline, state, fs: int = 22050, dispatch=None):
         self.pipeline = pipeline
         self.state = state
         self.fs = fs
+        self.step_hint: int | None = None  # host-side step (live training)
+        self._dispatch = dispatch or (lambda fn: fn())
         self._lock = threading.Lock()
+        # fetched once on the constructing (training) thread — /state must
+        # stay device-free when served from handler threads
+        self._aabb_list = np.asarray(pipeline.audio_aabb).tolist()
 
     def render_view(self, theta: float, phi: float, radius: float,
                     w: int, h: int) -> bytes:
@@ -88,14 +144,16 @@ class ViewerBackend:
             "cx": jnp.asarray([w / 2.0]), "cy": jnp.asarray([h / 2.0]),
         }
         with self._lock:
-            out = self.pipeline.render_image(self.state, cam_arrays, 0, h, w)
+            out = self._dispatch(
+                lambda: self.pipeline.render_image(self.state, cam_arrays,
+                                                   0, h, w))
         rgb = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(rgb).save(buf, format="PNG")
         return buf.getvalue()
 
-    def predict_rir(self, mic: np.ndarray) -> np.ndarray:
-        """Render the (C, L) RIR waveform at a mic position."""
+    def _predict_rir_work(self, mic: np.ndarray) -> np.ndarray:
+        """Device work for predict_rir — call only via self._dispatch."""
         import jax.numpy as jnp
 
         from neraf_tpu.viz.auralization import rir_from_log_stft
@@ -103,14 +161,18 @@ class ViewerBackend:
         cfg = self.pipeline.audio_model.config
         src = np.asarray(self.pipeline.audio_aabb).mean(axis=0)
         rot = np.array([1.0, 0.5, 0.5], np.float32)
-        with self._lock:
-            log_pred = self.pipeline._render_rirs(
-                self.state.params, self.state.batch_stats, self.state.grid,
-                jnp.asarray(mic, jnp.float32)[None],
-                jnp.asarray(src, jnp.float32)[None],
-                jnp.asarray(rot)[None])[0]
+        log_pred = self.pipeline._render_rirs(
+            self.state.params, self.state.batch_stats, self.state.grid,
+            jnp.asarray(mic, jnp.float32)[None],
+            jnp.asarray(src, jnp.float32)[None],
+            jnp.asarray(rot)[None])[0]
         return rir_from_log_stft(np.asarray(log_pred), n_fft=cfg.n_fft,
                                  hop_len=cfg.hop_len, win_len=cfg.win_len)
+
+    def predict_rir(self, mic: np.ndarray) -> np.ndarray:
+        """Render the (C, L) RIR waveform at a mic position."""
+        with self._lock:
+            return self._dispatch(lambda: self._predict_rir_work(mic))
 
     def _wav_bytes(self, wav: np.ndarray) -> bytes:
         from scipy.io import wavfile
@@ -142,24 +204,39 @@ class ViewerBackend:
             dry = dry / 32768.0  # int16 PCM
         if dry.ndim == 2:
             dry = dry.mean(axis=-1)
-        if in_fs != cfg.fs:
-            import math
 
-            g = math.gcd(int(cfg.fs), int(in_fs))
-            dry = np.asarray(resample_poly(dry, cfg.fs // g, in_fs // g),
-                             np.float32)
-        rir = self.predict_rir(mic)
-        wet = auralize(dry, rir, cfg.fs)
+        def _work():  # all device work in ONE dispatch unit (no nesting)
+            d = dry
+            if in_fs != cfg.fs:
+                import math
+
+                g = math.gcd(int(cfg.fs), int(in_fs))
+                d = np.asarray(resample_poly(d, cfg.fs // g, in_fs // g),
+                               np.float32)
+            rir = self._predict_rir_work(mic)
+            return auralize(d, rir, cfg.fs)
+
+        with self._lock:
+            wet = self._dispatch(_work)
         peak = np.abs(wet).max()
         if peak > 1.0:
             wet = wet / peak
         return self._wav_bytes(wet)
 
     def scene_state(self) -> dict:
+        # step_hint keeps this endpoint device-free during live training
+        # (np.asarray(state.step) is a device->host transfer, which handler
+        # threads must not issue concurrently with the train loop)
+        if self.step_hint is not None:
+            step = self.step_hint
+        else:
+            with self._lock:
+                step = self._dispatch(
+                    lambda: int(np.asarray(self.state.step)))
         return {
-            "audio_aabb": np.asarray(self.pipeline.audio_aabb).tolist(),
+            "audio_aabb": self._aabb_list,
             "grid_res": self.pipeline.grid_res,
-            "step": int(np.asarray(self.state.step)),
+            "step": step,
         }
 
 

@@ -88,6 +88,15 @@ def test_train_and_eval_roundtrip(mini_run):
     assert np.isfinite(results["psnr"])
 
 
+def test_train_cli_flags_parse():
+    from neraf_tpu.cli.train import parse_args
+
+    args = parse_args(["--data-root", "/x", "--viewer-port", "7007",
+                       "--audio-only", "--max-iters", "5"])
+    assert args.viewer_port == 7007
+    assert args.audio_only and args.max_iters == 5
+
+
 def test_emergency_checkpoint_on_crash(mini_run):
     """A crashing step_fn still leaves a resumable checkpoint behind."""
     import jax.numpy as jnp

@@ -45,6 +45,38 @@ def test_viewer_endpoints(tmp_path):
         server.shutdown()
 
 
+def test_train_thread_dispatcher():
+    """Handler threads enqueue device work; the training thread pumps it
+    (the axon jax client aborts on concurrent multi-thread dispatch)."""
+    import threading
+
+    from neraf_tpu.viz.viewer import TrainThreadDispatcher
+
+    d = TrainThreadDispatcher(timeout_s=10)
+    results = {}
+
+    def handler():
+        results["ok"] = d(lambda: 41 + 1)
+        try:
+            d(lambda: 1 / 0)
+        except ZeroDivisionError:
+            results["err"] = True
+
+    t = threading.Thread(target=handler)
+    t.start()
+    # main thread plays the training loop: pump until both thunks ran
+    for _ in range(200):
+        d.pump()
+        if results.get("err"):
+            break
+        import time
+
+        time.sleep(0.02)
+    t.join(timeout=5)
+    assert results["ok"] == 42
+    assert results["err"] is True
+
+
 def _dry_wav_bytes(fs: int, seconds: float = 0.05) -> bytes:
     import io
 
