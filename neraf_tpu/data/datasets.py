@@ -106,19 +106,47 @@ def load_raf_dataset(
     if with_waveforms is None:
         with_waveforms = split != "train"
 
+    paths = [data_dir / "data" / str(n) / "rir.wav"
+             for n in outputs.audio_filenames]
+
+    from neraf_tpu import native
+
     logs, wavs = [], []
-    for name in outputs.audio_filenames:
-        sr, wav = _read_wav(data_dir / "data" / str(name) / "rir.wav")
-        if sr != 48000:
-            raise ValueError("Loaded sample rate should be 48kHz")
-        if wav.ndim > 1:
-            wav = wav[:, 0]
-        wav = wav[:max_len_time]
-        mag = np.asarray(stft_magnitude(jnp.asarray(wav), n_fft=n_fft,
-                                        hop_length=hop_len, win_length=win_length))[None]
-        logs.append(_pack_log_stft(mag, max_len))
-        if with_waveforms:
-            wavs.append(_fit_waveform(wav[None], max_len_time))
+    if native.available() and paths:
+        # native ingest (C++ thread pool): decode + truncate + STFT per file
+        # — the DataLoader-worker equivalent; parity vs the Python path is
+        # pinned by tests/test_native_ingest.py + test_data.py
+        infos = [native.wav_info(p) for p in paths]
+        for sr, _, _ in infos:
+            if sr != 48000:
+                raise ValueError("Loaded sample rate should be 48kHz")
+        mags, _ = native.process_rir_batch(
+            paths, target_fs=0, n_fft=n_fft, hop=hop_len, win=win_length,
+            max_samples=max_len_time, max_channels=1, n_frames=max_len + 1,
+            clip=False)
+        for i, (_, frames, _) in enumerate(infos):
+            t_i = 1 + min(frames, max_len_time) // hop_len
+            logs.append(_pack_log_stft(mags[i][:, :, :t_i], max_len))
+            if with_waveforms:
+                _, wav = native.read_wav(paths[i])
+                if wav.ndim > 1:
+                    wav = wav[:, 0]
+                wavs.append(_fit_waveform(wav[None, :max_len_time],
+                                          max_len_time))
+    else:
+        for path in paths:
+            sr, wav = _read_wav(path)
+            if sr != 48000:
+                raise ValueError("Loaded sample rate should be 48kHz")
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            wav = wav[:max_len_time]
+            mag = np.asarray(stft_magnitude(jnp.asarray(wav), n_fft=n_fft,
+                                            hop_length=hop_len,
+                                            win_length=win_length))[None]
+            logs.append(_pack_log_stft(mag, max_len))
+            if with_waveforms:
+                wavs.append(_fit_waveform(wav[None], max_len_time))
 
     return AudioSliceDataset(
         outputs=outputs,

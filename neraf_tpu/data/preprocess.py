@@ -22,10 +22,10 @@ import argparse
 from pathlib import Path
 
 import numpy as np
-import scipy.signal
 
 import jax.numpy as jnp
 
+from neraf_tpu.dsp.resample import resample_poly
 from neraf_tpu.dsp.stft import stft_magnitude
 from neraf_tpu.utils.wav import read_wav
 
@@ -40,7 +40,10 @@ def process_rir_wav(path: Path, source_fs: int = 44100) -> np.ndarray:
     sr, wav = read_wav(path)
     wav = np.clip(np.atleast_2d(wav.T if wav.ndim > 1 else wav[None]), -1.0, 1.0)
     if sr != TARGET_FS:
-        wav = scipy.signal.resample_poly(wav, TARGET_FS, sr, axis=-1)
+        # framework polyphase (dsp/resample.py) — the librosa/torchaudio
+        # replacement; the native ingest (neraf_tpu/native) matches it exactly
+        wav = np.asarray(resample_poly(jnp.asarray(wav.astype(np.float32)),
+                                       TARGET_FS, sr))
     wav = np.pad(wav, ((0, 0), (N_FFT // 2, 0)))
     if wav.shape[1] < MIN_SAMPLES:
         wav = np.pad(wav, ((0, 0), (0, MIN_SAMPLES - wav.shape[1])))
@@ -54,8 +57,34 @@ def process_scene(scene_dir: Path, in_dir: str = "binaural_rirs",
     scene_dir = Path(scene_dir)
     src_root = scene_dir / in_dir
     dst_root = scene_dir / out_dir
+    paths = sorted(src_root.rglob("*.wav"))
+
+    from neraf_tpu import native
+
+    if native.available() and paths:
+        # native C++ batch ingest on a thread pool (parity with
+        # process_rir_wav pinned by tests/test_native_ingest.py)
+        infos = [native.wav_info(p) for p in paths]
+        t_each = []
+        for sr, frames, _ in infos:
+            import math
+
+            g = math.gcd(TARGET_FS, sr)
+            res_len = -(-frames * (TARGET_FS // g) // (sr // g))
+            t_each.append(1 + max(res_len + N_FFT // 2, MIN_SAMPLES) // HOP)
+        mags, chans = native.process_rir_batch(
+            paths, target_fs=TARGET_FS, n_fft=N_FFT, hop=HOP, win=N_FFT,
+            front_pad=N_FFT // 2, min_samples=MIN_SAMPLES, max_channels=2,
+            n_frames=max(t_each))
+        for p, m, c, t in zip(paths, mags, chans, t_each):
+            rel = p.relative_to(src_root).with_suffix(".npy")
+            dst = dst_root / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            np.save(dst, np.ascontiguousarray(m[:c, :, :t]))
+        return len(paths)
+
     count = 0
-    for wav_path in sorted(src_root.rglob("*.wav")):
+    for wav_path in paths:
         rel = wav_path.relative_to(src_root).with_suffix(".npy")
         dst = dst_root / rel
         dst.parent.mkdir(parents=True, exist_ok=True)
