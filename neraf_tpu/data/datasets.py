@@ -191,10 +191,17 @@ def load_soundspaces_dataset(
                 wav = np.zeros((2, int(fs * 0.5)), np.float32)
             if fs != 44100:
                 # host-side resample: wav lengths vary per file, and a jitted
-                # resampler would recompile per shape at load time
-                import scipy.signal
+                # resampler would recompile per shape at load time — native
+                # C++ polyphase (framework filter) when available
+                from neraf_tpu import native
 
-                wav = scipy.signal.resample_poly(wav, fs, 44100, axis=-1).astype(np.float32)
+                if native.available():
+                    wav = native.resample_poly(wav, fs, 44100)
+                else:
+                    import scipy.signal
+
+                    wav = scipy.signal.resample_poly(
+                        wav, fs, 44100, axis=-1).astype(np.float32)
             wavs.append(_fit_waveform(wav, max_len_time))
 
     F = logs[0].shape[1] if logs else 257
