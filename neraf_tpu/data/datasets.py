@@ -111,8 +111,7 @@ def load_raf_dataset(
 
     from neraf_tpu import native
 
-    logs, wavs = [], []
-    if native.available() and paths:
+    def _load_native():
         # native ingest (C++ thread pool): decode + truncate + STFT per file
         # — the DataLoader-worker equivalent; parity vs the Python path is
         # pinned by tests/test_native_ingest.py + test_data.py
@@ -124,6 +123,7 @@ def load_raf_dataset(
             paths, target_fs=0, n_fft=n_fft, hop=hop_len, win=win_length,
             max_samples=max_len_time, max_channels=1, n_frames=max_len + 1,
             clip=False)
+        logs, wavs = [], []
         for i, (_, frames, _) in enumerate(infos):
             t_i = 1 + min(frames, max_len_time) // hop_len
             logs.append(_pack_log_stft(mags[i][:, :, :t_i], max_len))
@@ -133,7 +133,18 @@ def load_raf_dataset(
                     wav = wav[:, 0]
                 wavs.append(_fit_waveform(wav[None, :max_len_time],
                                           max_len_time))
-    else:
+        return logs, wavs
+
+    logs = wavs = None
+    if native.available() and paths:
+        try:
+            logs, wavs = _load_native()
+        except IOError:
+            # a wav format the native parser doesn't cover — fall back to
+            # the Python path rather than failing the whole load
+            logs = wavs = None
+    if logs is None:
+        logs, wavs = [], []
         for path in paths:
             sr, wav = _read_wav(path)
             if sr != 48000:

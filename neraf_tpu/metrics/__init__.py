@@ -19,11 +19,10 @@ from neraf_tpu.metrics.losses import (
     spectral_loss,
 )
 from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
-from neraf_tpu.metrics.image import psnr, ssim
-# NOTE: the LPIPS *function* is neraf_tpu.metrics.image.lpips; the name
-# `neraf_tpu.metrics.lpips` is the implementation submodule (backbones,
-# converter, weight IO) and is deliberately not shadowed here.
-from neraf_tpu.metrics import lpips  # noqa: F401  (submodule re-export)
+from neraf_tpu.metrics.image import lpips, psnr, ssim
+# NOTE: `lpips` here is the metric FUNCTION (symmetric with psnr/ssim).
+# The implementation submodule (backbones, converter, weight IO) is
+# importable as `from neraf_tpu.metrics.lpips import ...`.
 
 __all__ = [
     "measure_rt60",

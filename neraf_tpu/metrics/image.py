@@ -84,7 +84,7 @@ def lpips(pred: jnp.ndarray, target: jnp.ndarray, weights_path: str | None = Non
     returns NaN (clearly marked unavailable) rather than silently substituting
     a different metric.
     """
-    from neraf_tpu.metrics import lpips as _lpips_mod
+    import neraf_tpu.metrics.lpips as _lpips_mod
 
     path = weights_path or _lpips_mod.resolve_default_weights()
     if path is None:

@@ -38,14 +38,17 @@ def _build_lib() -> Path | None:
     so = cache / f"libneraf_ingest_{tag}.so"
     if so.exists():
         return so
-    tmp = so.with_suffix(".so.tmp")
+    # per-process tmp name: two concurrent builders must not interleave
+    # output into the same file before the atomic rename
+    tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, so)
     except (OSError, subprocess.SubprocessError):
+        tmp.unlink(missing_ok=True)
         return None
-    os.replace(tmp, so)
     return so
 
 

@@ -28,6 +28,16 @@ constexpr double kPi = 3.14159265358979323846;
 
 // ---------------------------------------------------------------- WAV parse
 
+struct WavHeader {
+  int sample_rate = 0;
+  int channels = 0;
+  int frames = 0;   // samples per channel
+  int bits = 0;
+  int fmt = 0;      // resolved format code (1=PCM, 3=float)
+  long data_offset = 0;
+  long data_size = 0;
+};
+
 struct WavData {
   int sample_rate = 0;
   int channels = 0;
@@ -35,10 +45,10 @@ struct WavData {
   std::vector<float> samples;  // deinterleaved: channel-major [c][t]
 };
 
-// Minimal RIFF/WAVE reader: PCM uint8/int16/int32 and IEEE float32, matching
-// the scaling in neraf_tpu/utils/wav.py (int16/32768, int32/2^31, uint8
-// offset-binary, float passthrough).
-bool read_wav_file(const char* path, WavData* out) {
+// Header-only RIFF/WAVE parse: fmt chunk (incl. WAVE_FORMAT_EXTENSIBLE
+// subformat resolution) + data chunk location, with validation so malformed
+// files fail cleanly instead of dividing by zero or over-allocating.
+bool parse_wav_header(const char* path, WavHeader* h) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   auto read_u32 = [&](uint32_t* v) {
@@ -59,8 +69,8 @@ bool read_wav_file(const char* path, WavData* out) {
 
   uint16_t fmt = 0, channels = 0, bits = 0;
   uint32_t sample_rate = 0;
-  bool have_fmt = false;
-  std::vector<uint8_t> data;
+  bool have_fmt = false, have_data = false;
+  long data_offset = 0, data_size = 0;
 
   while (std::fread(tag, 1, 4, f) == 4) {
     uint32_t chunk = 0;
@@ -73,54 +83,109 @@ bool read_wav_file(const char* path, WavData* out) {
         std::fclose(f);
         return false;
       }
-      if (chunk > 16) std::fseek(f, chunk - 16, SEEK_CUR);
+      long extra = static_cast<long>(chunk) - 16;
+      if (fmt == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first u16 of
+        // the SubFormat GUID (after cbSize, validBits, channelMask)
+        uint16_t cb = 0, valid_bits = 0, sub = 0;
+        uint32_t mask = 0;
+        if (extra < 10 || !read_u16(&cb) || !read_u16(&valid_bits) ||
+            !read_u32(&mask) || !read_u16(&sub)) {
+          std::fclose(f);
+          return false;
+        }
+        fmt = sub;
+        extra -= 10;
+      }
+      if (extra > 0) std::fseek(f, extra + (chunk & 1), SEEK_CUR);
+      else if (chunk & 1) std::fseek(f, 1, SEEK_CUR);
       have_fmt = true;
     } else if (std::strncmp(tag, "data", 4) == 0) {
-      data.resize(chunk);
-      if (std::fread(data.data(), 1, chunk, f) != chunk) {
-        std::fclose(f);
-        return false;
-      }
+      data_offset = std::ftell(f);
+      data_size = static_cast<long>(chunk);
+      have_data = true;
+      std::fseek(f, chunk + (chunk & 1), SEEK_CUR);
     } else {
       std::fseek(f, chunk + (chunk & 1), SEEK_CUR);
     }
   }
+  // validate: supported format/bit depths, sane channel count, real data
+  const long fsize = [&] {
+    std::fseek(f, 0, SEEK_END);
+    return std::ftell(f);
+  }();
   std::fclose(f);
-  if (!have_fmt || data.empty() || channels == 0) return false;
-  // WAVE_FORMAT_EXTENSIBLE (0xFFFE) keeps the bit layout of its subformat;
-  // we support PCM (1) and IEEE float (3).
-  if (fmt != 1 && fmt != 3 && fmt != 0xFFFE) return false;
+  if (!have_fmt || !have_data || data_size <= 0) return false;
+  if (channels == 0 || channels > 64) return false;
+  if (fmt != 1 && fmt != 3) return false;
+  if (fmt == 3 && bits != 32) return false;
+  if (fmt == 1 && bits != 8 && bits != 16 && bits != 24 && bits != 32)
+    return false;
+  if (data_offset + data_size > fsize) data_size = fsize - data_offset;
+  if (data_size <= 0) return false;
 
   const int bytes_per = bits / 8;
-  const int frames = static_cast<int>(data.size()) / (bytes_per * channels);
-  out->sample_rate = static_cast<int>(sample_rate);
-  out->channels = channels;
-  out->frames = frames;
-  out->samples.assign(static_cast<size_t>(frames) * channels, 0.0f);
+  h->sample_rate = static_cast<int>(sample_rate);
+  h->channels = channels;
+  h->bits = bits;
+  h->fmt = fmt;
+  h->data_offset = data_offset;
+  h->data_size = data_size;
+  h->frames = static_cast<int>(data_size / (bytes_per * channels));
+  return h->frames > 0;
+}
+
+// Full decode, matching the scaling in neraf_tpu/utils/wav.py and scipy
+// (int16/32768, int24/32 via int32/2^31, uint8 offset-binary, float pass).
+bool read_wav_file(const char* path, WavData* out) {
+  WavHeader h;
+  if (!parse_wav_header(path, &h)) return false;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, h.data_offset, SEEK_SET);
+  const int bytes_per = h.bits / 8;
+  const size_t need =
+      static_cast<size_t>(h.frames) * h.channels * bytes_per;
+  std::vector<uint8_t> data(need);
+  const bool ok = std::fread(data.data(), 1, need, f) == need;
+  std::fclose(f);
+  if (!ok) return false;
+
+  out->sample_rate = h.sample_rate;
+  out->channels = h.channels;
+  out->frames = h.frames;
+  out->samples.assign(static_cast<size_t>(h.frames) * h.channels, 0.0f);
 
   const uint8_t* p = data.data();
-  for (int t = 0; t < frames; ++t) {
-    for (int c = 0; c < channels; ++c) {
-      const uint8_t* s = p + (static_cast<size_t>(t) * channels + c) * bytes_per;
+  for (int t = 0; t < h.frames; ++t) {
+    for (int c = 0; c < h.channels; ++c) {
+      const uint8_t* s =
+          p + (static_cast<size_t>(t) * h.channels + c) * bytes_per;
       float v = 0.0f;
-      if (fmt == 3 || (fmt == 0xFFFE && bits == 32)) {
+      if (h.fmt == 3) {
         float fv;
         std::memcpy(&fv, s, 4);
         v = fv;
-      } else if (bits == 16) {
+      } else if (h.bits == 16) {
         int16_t iv;
         std::memcpy(&iv, s, 2);
         v = static_cast<float>(iv) / 32768.0f;
-      } else if (bits == 32) {
+      } else if (h.bits == 24) {
+        // little-endian signed 24-bit -> int32 (scipy loads 24-bit into the
+        // high bytes of int32), scaled by 2^31
+        const int32_t iv = static_cast<int32_t>(
+            (static_cast<uint32_t>(s[0]) << 8) |
+            (static_cast<uint32_t>(s[1]) << 16) |
+            (static_cast<uint32_t>(s[2]) << 24));
+        v = static_cast<float>(static_cast<double>(iv) / 2147483648.0);
+      } else if (h.bits == 32) {
         int32_t iv;
         std::memcpy(&iv, s, 4);
         v = static_cast<float>(static_cast<double>(iv) / 2147483648.0);
-      } else if (bits == 8) {
+      } else {  // 8-bit offset binary
         v = (static_cast<float>(s[0]) - 128.0f) / 128.0f;
-      } else {
-        return false;
       }
-      out->samples[static_cast<size_t>(c) * frames + t] = v;
+      out->samples[static_cast<size_t>(c) * h.frames + t] = v;
     }
   }
   return true;
@@ -264,37 +329,54 @@ void stft_mag_one(const StftPlan& p, const float* x, int len, float* out,
 extern "C" {
 
 // Returns 0 on success. sr/frames/channels describe the file.
+// Header-only: no sample decode (the batch processors decode once).
 int neraf_wav_info(const char* path, int* sr, int* frames, int* channels) {
-  WavData w;
-  if (!read_wav_file(path, &w)) return 1;
-  *sr = w.sample_rate;
-  *frames = w.frames;
-  *channels = w.channels;
-  return 0;
+  try {
+    WavHeader h;
+    if (!parse_wav_header(path, &h)) return 1;
+    *sr = h.sample_rate;
+    *frames = h.frames;
+    *channels = h.channels;
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 // out must hold frames*channels floats; layout channel-major [c][t].
 int neraf_wav_read(const char* path, float* out, int capacity) {
-  WavData w;
-  if (!read_wav_file(path, &w)) return 1;
-  const int n = w.frames * w.channels;
-  if (n > capacity) return 2;
-  std::memcpy(out, w.samples.data(), sizeof(float) * n);
-  return 0;
+  try {
+    WavData w;
+    if (!read_wav_file(path, &w)) return 1;
+    const int n = w.frames * w.channels;
+    if (n > capacity) return 2;
+    std::memcpy(out, w.samples.data(), sizeof(float) * n);
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 int neraf_resample_poly(const float* x, int len, int up, int down,
                         int num_zeros, double beta, float* out, int out_len) {
-  resample_poly(x, len, up, down, num_zeros, beta, out, out_len);
-  return 0;
+  try {
+    resample_poly(x, len, up, down, num_zeros, beta, out, out_len);
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 // x: (len,) signal. out: (n_freq, n_frames) magnitudes.
 int neraf_stft_mag(const float* x, int len, int n_fft, int hop, int win,
                    float* out, int n_frames) {
-  const StftPlan p = make_stft_plan(n_fft, hop, win);
-  stft_mag_one(p, x, len, out, n_frames);
-  return 0;
+  try {
+    const StftPlan p = make_stft_plan(n_fft, hop, win);
+    stft_mag_one(p, x, len, out, n_frames);
+    return 0;
+  } catch (...) {
+    return 3;
+  }
 }
 
 // Batched RIR ingest (the DataLoader-worker replacement): for each path,
@@ -316,6 +398,7 @@ int neraf_process_rir_batch(const char* const* paths, int n, int target_fs,
 
   auto work = [&](int begin, int end) {
     for (int idx = begin; idx < end; ++idx) {
+     try {
       WavData w;
       if (!read_wav_file(paths[idx], &w)) {
         failures[idx] = 1;
@@ -375,6 +458,10 @@ int neraf_process_rir_batch(const char* const* paths, int n, int target_fs,
                             n_freq) * n_frames;
         std::memset(dst, 0, sizeof(float) * n_freq * n_frames);
       }
+     } catch (...) {  // never let an exception cross the thread boundary
+       failures[idx] = 1;
+       channels_out[idx] = 0;
+     }
     }
   };
 

@@ -7,7 +7,9 @@ is a dependency-free equivalent: a stdlib HTTP server exposing
   GET /                 — minimal HTML front end (orbit with arrow keys)
   GET /render?theta=..&phi=..&radius=..&w=..&h=..  — PNG render of that view
   GET /rir?x=..&y=..&z=..                          — WAV RIR at a mic position
-  GET /auralize?x=..&y=..&z=..&file=dry.wav        — wet WAV (server-side dry file)
+  GET /auralize?x=..&y=..&z=..&file=dry.wav        — wet WAV (file relative to
+                                                     the configured dry_audio_dir;
+                                                     403 when unset)
   POST /auralize?x=..&y=..&z=..  (body = dry WAV)  — wet WAV (uploaded dry audio)
   GET /state                                        — JSON scene info
 
@@ -120,10 +122,15 @@ class ViewerBackend:
     where the handler thread is the only device user).
     """
 
-    def __init__(self, pipeline, state, fs: int = 22050, dispatch=None):
+    def __init__(self, pipeline, state, fs: int = 22050, dispatch=None,
+                 dry_audio_dir=None):
         self.pipeline = pipeline
         self.state = state
         self.fs = fs
+        # GET /auralize?file=... only serves wavs under this directory; when
+        # None the GET variant is disabled (POST the wav body instead) — the
+        # HTTP server must not be an arbitrary-file read oracle
+        self.dry_audio_dir = dry_audio_dir
         self.step_hint: int | None = None  # host-side step (live training)
         self._dispatch = dispatch or (lambda fn: fn())
         self._lock = threading.Lock()
@@ -199,9 +206,15 @@ class ViewerBackend:
 
         cfg = self.pipeline.audio_model.config
         in_fs, dry = wavfile.read(io.BytesIO(wav_bytes))
-        dry = np.asarray(dry, np.float32)
-        if dry.dtype != np.float32 or np.abs(dry).max() > 1.5:
-            dry = dry / 32768.0  # int16 PCM
+        # PCM scaling decided on the ORIGINAL dtype, before any float cast
+        if dry.dtype == np.int16:
+            dry = dry.astype(np.float32) / 32768.0
+        elif dry.dtype == np.int32:
+            dry = dry.astype(np.float32) / 2147483648.0
+        elif dry.dtype == np.uint8:
+            dry = (dry.astype(np.float32) - 128.0) / 128.0
+        else:
+            dry = np.asarray(dry, np.float32)
         if dry.ndim == 2:
             dry = dry.mean(axis=-1)
 
@@ -269,18 +282,32 @@ def make_handler(backend: ViewerBackend):
                                     float(q.get("z", 0))])
                     self._send(200, backend.render_rir_wav(mic), "audio/wav")
                 elif url.path == "/auralize":
-                    # GET variant: convolve a server-side dry WAV file
+                    # GET variant: convolve a server-side dry WAV file,
+                    # restricted to backend.dry_audio_dir (no path traversal)
                     mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
                                     float(q.get("z", 0))])
                     path = q.get("file")
-                    if not path:
+                    if backend.dry_audio_dir is None:
+                        self._send(403, b"server-side dry files disabled; "
+                                   b"POST a wav body, or start the viewer "
+                                   b"with a dry_audio_dir", "text/plain")
+                    elif not path:
                         self._send(400, b"missing ?file= (or POST a wav body)",
                                    "text/plain")
                     else:
-                        with open(path, "rb") as f:
-                            body = f.read()
-                        self._send(200, backend.auralize_wav(mic, body),
-                                   "audio/wav")
+                        import os.path as osp
+
+                        root = osp.realpath(str(backend.dry_audio_dir))
+                        full = osp.realpath(osp.join(root, path))
+                        if not (full == root or
+                                full.startswith(root + osp.sep)):
+                            self._send(403, b"file outside dry_audio_dir",
+                                       "text/plain")
+                        else:
+                            with open(full, "rb") as f:
+                                body = f.read()
+                            self._send(200, backend.auralize_wav(mic, body),
+                                       "audio/wav")
                 elif url.path == "/state":
                     self._send(200, json.dumps(backend.scene_state()).encode(),
                                "application/json")

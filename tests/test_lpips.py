@@ -12,7 +12,7 @@ import pytest
 import torch
 import torch.nn as nn
 
-from neraf_tpu.metrics import lpips as L
+import neraf_tpu.metrics.lpips as L
 from neraf_tpu.metrics.image import lpips as lpips_metric
 
 

@@ -52,6 +52,62 @@ def test_wav_read_mono(tmp_path):
     assert sr == 48000 and data.ndim == 1 and data.shape[0] == 1000
 
 
+def _write_wav_manual(path, sr, channels, bits, fmt_code, frames_bytes):
+    """Hand-rolled RIFF writer for formats scipy won't emit (24-bit etc.)."""
+    import struct
+
+    byte_rate = sr * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, sr, byte_rate,
+                      block_align, bits)
+    data = frames_bytes
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_wav_read_24bit_matches_scipy(tmp_path):
+    import struct
+
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-(2**23), 2**23, size=256)
+    payload = b"".join(
+        struct.pack("<i", int(v) << 8)[1:] for v in vals)  # 3 LSB-first bytes
+    p = tmp_path / "p24.wav"
+    _write_wav_manual(p, 22050, 1, 24, 1, payload)
+
+    sr_ref, ref = wavfile.read(p)  # scipy returns int32 (<<8)
+    ref_f = ref.astype(np.float32) / 2147483648.0
+    sr, nat = native.read_wav(p)
+    assert sr == sr_ref == 22050
+    np.testing.assert_allclose(nat, ref_f, atol=1e-7)
+
+
+def test_malformed_wav_raises_not_crashes(tmp_path):
+    # bits_per_sample = 0 used to divide by zero inside the C parser
+    p = tmp_path / "bad.wav"
+    _write_wav_manual(p, 22050, 1, 0, 1, b"\x00" * 64)
+    with pytest.raises(IOError):
+        native.wav_info(p)
+    # truncated garbage
+    q = tmp_path / "garbage.wav"
+    q.write_bytes(b"RIFFxxxxWAVE" + b"\x01" * 10)
+    with pytest.raises(IOError):
+        native.read_wav(q)
+    # a corrupt file inside a batch fails that file, not the process
+    good = tmp_path / "good.wav"
+    from scipy.io import wavfile
+
+    wavfile.write(good, 22050, (_tone(1000) * 32767).astype(np.int16))
+    with pytest.raises(IOError):
+        native.process_rir_batch([good, p], target_fs=0, n_fft=512, hop=128,
+                                 win=512, max_channels=1, n_frames=9,
+                                 n_threads=2)
+
+
 def test_resample_parity_vs_jax():
     from neraf_tpu.dsp.resample import resample_poly as jax_resample
 

@@ -1,6 +1,7 @@
 """Viewer: HTTP endpoints against a live tiny pipeline."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -94,7 +95,7 @@ def test_viewer_auralize_endpoint(tmp_path):
     RIR at the queried mic pose (reference NeRAF_model.py:221-267)."""
     pipe, _, _, _ = _make_pipeline(tmp_path)
     state = pipe.init_state()
-    backend = ViewerBackend(pipe, state)
+    backend = ViewerBackend(pipe, state, dry_audio_dir=tmp_path / "dry")
     server = serve(backend, port=0, blocking=False)
     port = server.server_address[1]
     base = f"http://127.0.0.1:{port}"
@@ -115,11 +116,30 @@ def test_viewer_auralize_endpoint(tmp_path):
         assert data.ndim == 2 and data.shape[1] == 2
         assert np.abs(data).max() <= 1.0 + 1e-6
 
-        # GET variant with a server-side dry file (resample path: 48k -> fs)
-        dry_path = tmp_path / "dry48k.wav"
-        dry_path.write_bytes(_dry_wav_bytes(48000))
+        # GET variant: file RELATIVE to dry_audio_dir (resample 48k -> fs)
+        (tmp_path / "dry").mkdir()
+        (tmp_path / "dry" / "dry48k.wav").write_bytes(_dry_wav_bytes(48000))
         wet2 = urllib.request.urlopen(
-            f"{base}/auralize?x=0&y=0&z=0&file={dry_path}").read()
+            f"{base}/auralize?x=0&y=0&z=0&file=dry48k.wav").read()
         assert wet2[:4] == b"RIFF"
+
+        # traversal outside dry_audio_dir is rejected
+        secret = tmp_path / "secret.wav"
+        secret.write_bytes(_dry_wav_bytes(fs))
+        with np.testing.assert_raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"{base}/auralize?x=0&y=0&z=0&file=../secret.wav")
+    finally:
+        server.shutdown()
+
+
+def test_viewer_auralize_get_disabled_by_default(tmp_path):
+    pipe, _, _, _ = _make_pipeline(tmp_path)
+    backend = ViewerBackend(pipe, pipe.init_state())
+    server = serve(backend, port=0, blocking=False)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with np.testing.assert_raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/auralize?file=/etc/hostname")
     finally:
         server.shutdown()
