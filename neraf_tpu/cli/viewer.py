@@ -22,6 +22,9 @@ def parse_args(argv=None):
     p.add_argument("--load-dir", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7007)
+    p.add_argument("--dry-audio-dir", default=None,
+                   help="directory of dry wavs servable via GET /auralize "
+                        "(disabled when unset; POST works regardless)")
     return p.parse_args(argv)
 
 
@@ -41,7 +44,8 @@ def main(argv=None):
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     state = restore_checkpoint(path, pipe.init_state())
 
-    backend = ViewerBackend(pipe, state, fs=cfg.audio_model.fs)
+    backend = ViewerBackend(pipe, state, fs=cfg.audio_model.fs,
+                            dry_audio_dir=args.dry_audio_dir)
     serve(backend, host=args.host, port=args.port)
 
 
