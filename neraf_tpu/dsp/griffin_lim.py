@@ -22,8 +22,10 @@ import numpy as np
 from neraf_tpu.dsp.stft import istft, stft_complex
 
 # 'auto' switches to the fused Pallas kernel at this many (..., F, T)
-# channels — the measured v5e crossover vs the XLA matmul path
-_PALLAS_MIN_CHANNELS = 512
+# channels — the measured v5e crossover vs the XLA matmul path (K-vs-1
+# harness: 128ch xla wins; 256ch pallas 14.1 vs xla 17.9 ms; 512ch 29.7 vs
+# 39.5; 1152ch 75 vs 134)
+_PALLAS_MIN_CHANNELS = 256
 
 
 @functools.partial(
@@ -73,9 +75,9 @@ def griffin_lim(
 
         F_dim, T = magnitude.shape[-2:]
         n_channels = int(np.prod(magnitude.shape[:-2]))
-        # the kernel requires length == hop*(T-1) (OLA scratch layout); below
-        # ~512 channels its per-dispatch overhead loses to the XLA path
-        # (measured v5e: 128ch 32ms vs 29ms, 1152ch 89ms vs 148ms)
+        # the kernel requires length == hop*(T-1) (OLA scratch layout);
+        # below _PALLAS_MIN_CHANNELS its per-dispatch overhead loses to the
+        # XLA path (measured crossover between 128 and 256 channels)
         ok = (n_channels >= _PALLAS_MIN_CHANNELS
               and length == hop_length * (T - 1)
               and pallas_gl_available(n_fft, hop_length, win_length, F_dim,
