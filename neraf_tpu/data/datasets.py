@@ -209,10 +209,15 @@ def load_soundspaces_dataset(
                 if native.available():
                     wav = native.resample_poly(wav, fs, 44100)
                 else:
-                    import scipy.signal
+                    # framework Kaiser filter (not scipy's default window):
+                    # loaded waveforms must be identical with or without a
+                    # host g++ toolchain
+                    import jax.numpy as jnp
 
-                    wav = scipy.signal.resample_poly(
-                        wav, fs, 44100, axis=-1).astype(np.float32)
+                    from neraf_tpu.dsp.resample import resample_poly
+
+                    wav = np.asarray(resample_poly(
+                        jnp.asarray(wav.astype(np.float32)), fs, 44100))
             wavs.append(_fit_waveform(wav, max_len_time))
 
     F = logs[0].shape[1] if logs else 257

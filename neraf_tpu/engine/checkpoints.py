@@ -38,11 +38,12 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
-    # skip "*.orbax-checkpoint-tmp" dirs: a crash mid-save leaves one behind
+    # skip "*.orbax-checkpoint-tmp*" dirs: a crash mid-save leaves one behind
     # and orbax refuses to restore it — resume must fall back to the last
-    # COMPLETE checkpoint
+    # COMPLETE checkpoint. Substring (not endswith) match: some orbax
+    # TemporaryPath implementations append "-<timestamp>" after the suffix.
     steps = sorted(p for p in ckpt_dir.glob("step-*")
-                   if not p.name.endswith(".orbax-checkpoint-tmp"))
+                   if ".orbax-checkpoint-tmp" not in p.name)
     return steps[-1] if steps else None
 
 

@@ -19,10 +19,13 @@ from neraf_tpu.metrics.losses import (
     spectral_loss,
 )
 from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
+
+# `lpips` is the metric FUNCTION (symmetric with psnr/ssim). The
+# implementation lives in the `lpips_impl` submodule — deliberately NOT
+# named `lpips`: a submodule of the same name would be rebound over this
+# attribute by any later `import neraf_tpu.metrics.lpips`, silently turning
+# the function into a module at call sites.
 from neraf_tpu.metrics.image import lpips, psnr, ssim
-# NOTE: `lpips` here is the metric FUNCTION (symmetric with psnr/ssim).
-# The implementation submodule (backbones, converter, weight IO) is
-# importable as `from neraf_tpu.metrics.lpips import ...`.
 
 __all__ = [
     "measure_rt60",

@@ -77,14 +77,14 @@ def lpips(pred: jnp.ndarray, target: jnp.ndarray, weights_path: str | None = Non
     """LPIPS perceptual distance (reference: torchmetrics LPIPS with
     normalize=True, invoked via Nerfacto at NeRAF_pipeline.py:328).
 
-    Full JAX implementation in neraf_tpu.metrics.lpips; needs converted
+    Full JAX implementation in neraf_tpu.metrics.lpips_impl; needs converted
     pretrained weights (no network egress here to fetch them). Weight
     resolution order: explicit `weights_path` arg, `NERAF_LPIPS_WEIGHTS` env
     var, `~/.cache/neraf/lpips_{alex,vgg}.npz`. Without any weights file this
     returns NaN (clearly marked unavailable) rather than silently substituting
     a different metric.
     """
-    import neraf_tpu.metrics.lpips as _lpips_mod
+    import neraf_tpu.metrics.lpips_impl as _lpips_mod
 
     path = weights_path or _lpips_mod.resolve_default_weights()
     if path is None:

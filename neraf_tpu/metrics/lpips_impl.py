@@ -22,7 +22,7 @@ be fetched here. Instead this module ships:
 To enable LPIPS in eval, convert once on any machine with the weights:
 
     import torch
-    import neraf_tpu.metrics.lpips as L
+    import neraf_tpu.metrics.lpips_impl as L
     params = L.params_from_torch_state_dicts(
         [torch.load("torchvision_alexnet.pth"), torch.load("lpips_alex.pth")],
         net="alex")

