@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--viewer-port", type=int, default=None,
                    help="serve the HTTP viewer on this port during training "
                         "(renders track the latest train state)")
+    p.add_argument("--streaming", default=None, choices=["on", "off", "auto"],
+                   help="audio data path: whole split in HBM (off), "
+                        "host-streamed batches (on), or size-based (auto; "
+                        "see docs/DATA.md per-scene table)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -51,6 +55,8 @@ def main(argv=None):
         cfg.output_dir = args.output_dir
     if args.audio_only:
         cfg.audio_model.use_grid = False
+    if args.streaming is not None:
+        cfg.audio_data.streaming = args.streaming
 
     mesh = None
     if args.num_devices is not None and args.num_devices > 1:
@@ -71,13 +77,27 @@ def main(argv=None):
         trainer = Trainer(config=cfg, pipeline=engine)
         state = engine.init_state()
         state, _ = trainer.maybe_resume(state, args.load_dir)
-        arrays = audio_train.slice_arrays()
-        state = trainer.train(
-            state,
-            step_fn=lambda s: engine.train_step(s, arrays),
-            eval_fns={"eval_audio": lambda s: engine.evaluate(s, audio_eval)},
-            max_steps=args.max_iters,
-        )
+
+        from neraf_tpu.data.streaming import StreamingAudioSampler, should_stream
+
+        if should_stream(cfg.audio_data, audio_train):
+            sampler = StreamingAudioSampler(
+                audio_train, cfg.audio_data.batch_size, seed=args.seed)
+            step_fn = lambda s: engine.train_step(s, sampler.next())
+        else:
+            sampler = None
+            arrays = audio_train.slice_arrays()
+            step_fn = lambda s: engine.train_step(s, arrays)
+        try:
+            state = trainer.train(
+                state,
+                step_fn=step_fn,
+                eval_fns={"eval_audio": lambda s: engine.evaluate(s, audio_eval)},
+                max_steps=args.max_iters,
+            )
+        finally:
+            if sampler is not None:
+                sampler.stop()
         return
 
     bundle = build_pipeline(cfg, mesh=mesh)
@@ -89,7 +109,19 @@ def main(argv=None):
 
     cam_arrays = camera_arrays(bundle.vision_train.cameras)
     image_arrays = {"images": jnp.asarray(bundle.vision_train.images)}
-    audio_arrays = bundle.audio_train.slice_arrays()
+
+    from neraf_tpu.data.streaming import StreamingAudioSampler, should_stream
+
+    if should_stream(cfg.audio_data, bundle.audio_train):
+        # apartment-scale splits: log-STFT stays in host memory, batches
+        # stream with a double-buffered async device_put (data/streaming.py)
+        audio_sampler = StreamingAudioSampler(
+            bundle.audio_train, cfg.audio_data.batch_size, seed=args.seed)
+        next_audio = audio_sampler.next
+    else:
+        audio_sampler = None
+        audio_arrays = bundle.audio_train.slice_arrays()
+        next_audio = lambda: audio_arrays
 
     eval_cam_arrays = camera_arrays(bundle.vision_eval.cameras)
     eval_image_arrays = {"images": jnp.asarray(bundle.vision_eval.images)}
@@ -152,20 +184,30 @@ def main(argv=None):
         print(f"viewer at http://127.0.0.1:{args.viewer_port}")
 
         def on_metrics(step, scalars):
-            backend.state = snapshot(trainer._latest_state)
             backend.step_hint = step
+            # snapshot lazily: the on-device copy of the whole train state
+            # (params + opt states + 128^3 grid) is only needed when a
+            # viewer request is actually waiting — with no client connected
+            # this cadence must not cost allocations on the hot path
+            if dispatcher.pending():
+                backend.state = snapshot(trainer._latest_state)
             dispatcher.pump()
 
-    state = trainer.train(
-        state,
-        step_fn=lambda s: pipe.train_step(s, cam_arrays, audio_arrays, image_arrays),
-        eval_fns=eval_fns,
-        eval_batch_fn=lambda s: pipe.eval_loss_dict(
-            s, eval_cam_arrays, audio_arrays, eval_image_arrays),
-        eval_image_fn=eval_image_fn,
-        max_steps=args.max_iters,
-        on_metrics=on_metrics,
-    )
+    try:
+        state = trainer.train(
+            state,
+            step_fn=lambda s: pipe.train_step(s, cam_arrays, next_audio(),
+                                              image_arrays),
+            eval_fns=eval_fns,
+            eval_batch_fn=lambda s: pipe.eval_loss_dict(
+                s, eval_cam_arrays, next_audio(), eval_image_arrays),
+            eval_image_fn=eval_image_fn,
+            max_steps=args.max_iters,
+            on_metrics=on_metrics,
+        )
+    finally:
+        if audio_sampler is not None:
+            audio_sampler.stop()
 
 
 if __name__ == "__main__":

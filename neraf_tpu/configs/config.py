@@ -108,6 +108,10 @@ class VisionModelConfig:
     log2_hashmap_size: int = 19
     base_res: int = 16
     max_res: int = 2048
+    # hash-table gradient strategy: "auto" picks scatter_set on TPU (the
+    # backend's scatter-add crashes the worker, docs/HASH_PERF.md:67-92) and
+    # XLA-native scatter elsewhere; see ops/hashgrid.py gather_rows
+    hash_grad_mode: str = "auto"
     proposal_encoding: str = "fourier"  # encoding for proposal density fields
     # field MLPs
     hidden_dim: int = 64
@@ -141,6 +145,13 @@ class AudioDataConfig:
     fs: int = 22050
     max_len: int = 78
     hop_len: int = 128
+    # data-path selection: "off" = whole split in HBM (fastest, small
+    # scenes), "on" = host-resident log-STFT streamed per batch
+    # (data/streaming.py), "auto" = stream when the split exceeds
+    # stream_threshold_gb (apartment-scale scenes don't fit a 16 GB chip
+    # next to the model — docs/DATA.md has the per-scene table)
+    streaming: str = "auto"
+    stream_threshold_gb: float = 8.0
 
 
 @dataclass

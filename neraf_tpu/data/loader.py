@@ -48,6 +48,31 @@ def gather_audio_batch(arrays: dict, rec: jnp.ndarray, t: jnp.ndarray) -> dict:
     }
 
 
+def resolve_audio_batch(key: jax.Array, audio_in: dict, batch_size: int,
+                        max_len: int) -> dict:
+    """HBM-resident arrays OR a pre-streamed batch -> full batch dict.
+
+    Two accepted structures, distinguished at trace time by dict keys:
+    - {"log_stft" (N,C,F,T), poses (N,3)}: whole split in HBM; draw
+      (recording, time_bin) with the jax PRNG and gather in-jit, fusing
+      batch prep into the train step (loader.sample_audio_batch).
+    - {"data" (B,C,F), "audio_idx" (B,), "time_query" (B,), poses (N,3)}:
+      the streaming path (data/streaming.py) — STFT columns were gathered
+      host-side; only the tiny pose tables are gathered in-jit.
+    """
+    if "log_stft" in audio_in:
+        return sample_audio_batch(key, audio_in, batch_size, max_len)
+    rec = audio_in["audio_idx"]
+    return {
+        "audio_idx": rec,
+        "data": audio_in["data"],
+        "time_query": audio_in["time_query"],
+        "mic_pose": audio_in["mic_pose"][rec],
+        "source_pose": audio_in["source_pose"][rec],
+        "rot": audio_in["rot"][rec],
+    }
+
+
 class AudioBatchSampler:
     """Stateful convenience wrapper: owns the PRNG chain for batch draws."""
 

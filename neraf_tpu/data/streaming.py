@@ -1,0 +1,160 @@
+"""Out-of-HBM audio streaming: host-resident log-STFTs, device-resident poses.
+
+The HBM-resident design (datasets.py / loader.py) is the right TPU answer for
+splits that fit device memory, but the big SoundSpaces scenes do not: on a
+16 GB v5e, apartment_1's train split alone is ~23 GB of log-STFT (see
+docs/DATA.md for the per-scene table). The reference streams any size from
+disk through a torch DataLoader (NeRAF_datamanager.py:84-133); this module is
+the TPU-native equivalent:
+
+- the (N, C, F, T) log-STFT array stays in HOST memory (a plain ndarray or a
+  np.memmap — anything indexable),
+- the tiny pose tables (3 x (N,3)) stay device-resident, gathered in-jit by
+  recording index,
+- a background producer thread draws (recording, time_bin) indices with a
+  numpy RNG and gathers the (B, C, F) column batch host-side (numpy releases
+  the GIL for the copy),
+- the TRAINING thread is the only thread that touches the device (the axon
+  jax client aborts on concurrent dispatch from a second host thread):
+  `next()` returns the batch whose transfer was started on the PREVIOUS call
+  and immediately starts the async `jax.device_put` of the following one, so
+  the ~4 MB host->device copy overlaps the jitted step that consumes the
+  returned batch.
+
+A streamed batch is consumed by the same jitted step as the HBM path via
+`loader.resolve_audio_batch` — the two input structures differ (pre-gathered
+"data" vs whole-split "log_stft"), which jit resolves at trace time.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def split_device_bytes(log_stft) -> int:
+    """Device bytes the HBM-resident path would commit for this split."""
+    return int(np.prod(log_stft.shape)) * log_stft.dtype.itemsize
+
+
+def should_stream(audio_cfg, dataset) -> bool:
+    """Pick the data path per config: "on" / "off" / "auto" (size-based).
+
+    Auto streams when the split's log-STFT exceeds `stream_threshold_gb` —
+    the HBM budget must also hold params, optimizer states, the 128^3 grid,
+    and ResNet activations, so the threshold sits well below physical HBM.
+    """
+    mode = getattr(audio_cfg, "streaming", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    threshold = float(getattr(audio_cfg, "stream_threshold_gb", 8.0))
+    return split_device_bytes(dataset.log_stft) > threshold * 2**30
+
+
+class StreamingAudioSampler:
+    """Double-buffered host->device STFT-column batch streamer.
+
+    Usage (training thread):
+        sampler = StreamingAudioSampler(dataset, batch_size)
+        for _ in range(steps):
+            state, m = pipe.train_step(state, cams, sampler.next(), imgs)
+        sampler.stop()
+    """
+
+    def __init__(self, dataset, batch_size: int, max_len: int | None = None,
+                 seed: int = 0, prefetch: int = 2):
+        self.log_stft = dataset.log_stft  # HOST (N, C, F, T); may be memmap
+        o = dataset.outputs
+        # pose tables are tiny ((N,3) fp32) and live on device for in-jit
+        # gathering by recording index
+        self.pose_tables = {
+            "mic_pose": jnp.asarray(o.microphone_poses, jnp.float32),
+            "source_pose": jnp.asarray(o.source_poses, jnp.float32),
+            "rot": jnp.asarray(o.rotations, jnp.float32),
+        }
+        self.batch_size = batch_size
+        self.max_len = int(max_len if max_len is not None else dataset.max_len)
+        self._rng = np.random.default_rng(seed)
+        self._host_q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._stopped = threading.Event()
+        self._error: BaseException | None = None
+        self._inflight = None  # device batch whose transfer has been started
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ producer
+    def _draw_host_batch(self) -> dict:
+        n_rec = self.log_stft.shape[0]
+        idx = self._rng.integers(0, n_rec * self.max_len, self.batch_size)
+        rec = (idx // self.max_len).astype(np.int32)
+        t = (idx % self.max_len).astype(np.int32)
+        # same gather semantics as the in-jit path
+        # (loader.gather_audio_batch: log_stft[rec, :, :, t] -> (B, C, F))
+        data = np.ascontiguousarray(self.log_stft[rec, :, :, t])
+        return {"audio_idx": rec, "time_query": t, "data": data}
+
+    def _producer(self):
+        try:
+            while not self._stopped.is_set():
+                batch = self._draw_host_batch()
+                while not self._stopped.is_set():
+                    try:
+                        self._host_q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced by next(); never deadlock it
+            self._error = e
+
+    def _get_host_batch(self, block: bool) -> dict | None:
+        while True:
+            try:
+                return self._host_q.get(timeout=1.0) if block \
+                    else self._host_q.get_nowait()
+            except queue.Empty:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "streaming producer thread died") from self._error
+                if not block:
+                    return None
+
+    # ------------------------------------------------------------ consumer
+    def _start_transfer(self, host_batch: dict) -> dict:
+        # async device_put: returns immediately, the copy overlaps whatever
+        # the device is executing. MUST be called from the training thread.
+        dev = {k: jax.device_put(v) for k, v in host_batch.items()}
+        dev.update(self.pose_tables)
+        return dev
+
+    def next(self) -> dict:
+        """The next streamed audio input dict (training thread only).
+
+        Structure matches loader.resolve_audio_batch's streaming form:
+        pose tables (N,3) + pre-gathered data (B,C,F) + indices (B,).
+        """
+        if self._inflight is None:
+            self._inflight = self._start_transfer(self._get_host_batch(True))
+        out = self._inflight
+        # begin the NEXT batch's transfer before returning, so it overlaps
+        # the step that consumes `out`; if the producer is behind, skip —
+        # the next call will block on the queue instead
+        nb = self._get_host_batch(False)
+        self._inflight = self._start_transfer(nb) if nb is not None else None
+        return out
+
+    def stop(self):
+        self._stopped.set()
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()

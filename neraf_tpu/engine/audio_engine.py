@@ -23,7 +23,7 @@ import numpy as np
 
 from neraf_tpu.configs.config import ExperimentConfig
 from neraf_tpu.data.datasets import AudioSliceDataset
-from neraf_tpu.data.loader import sample_audio_batch
+from neraf_tpu.data.loader import resolve_audio_batch
 from neraf_tpu.dsp.griffin_lim import griffin_lim
 from neraf_tpu.dsp.stft import log_to_magnitude
 from neraf_tpu.engine.optimizers import make_optimizer
@@ -66,7 +66,7 @@ class AudioEngine:
     # ------------------------------------------------------------------ train
     def _train_step_impl(self, state: AudioTrainState, arrays: dict):
         rng, sample_key = jax.random.split(state.rng)
-        batch = sample_audio_batch(
+        batch = resolve_audio_batch(
             sample_key, arrays, self.config.audio_data.batch_size,
             self.model.config.max_len)
 
@@ -92,12 +92,14 @@ class AudioEngine:
             params, mic_poses, source_poses, rots, self.aabb)
 
     def evaluate(self, state: AudioTrainState, dataset: AudioSliceDataset,
-                 key: jax.Array | None = None) -> dict:
+                 key: jax.Array | None = None, chunk: int = 512) -> dict:
         """Full eval sweep: render all eval RIRs, Griffin-Lim, acoustic metrics.
 
         Mirrors the audio half of the reference's
         get_average_eval_image_metrics (NeRAF_pipeline.py:291-436): per-RIR
-        full metrics averaged (with std), plus throughput counters.
+        full metrics averaged (with std), plus throughput counters. Renders
+        + Griffin-Lims in fixed-size chunks so device memory stays O(chunk)
+        on apartment-scale eval splits.
         """
         cfg = self.model.config
         o = dataset.outputs
@@ -105,51 +107,70 @@ class AudioEngine:
         if n == 0:
             return {}
         key = jax.random.PRNGKey(0) if key is None else key
+        chunk = min(n, chunk)
 
-        t0 = time.perf_counter()
-        log_pred = self._render_all(
-            state.params,
-            jnp.asarray(o.microphone_poses, jnp.float32),
-            jnp.asarray(o.source_poses, jnp.float32),
-            jnp.asarray(o.rotations, jnp.float32),
-        )  # (N, C, F, T)
+        mic_all = np.asarray(o.microphone_poses, np.float32)
+        src_all = np.asarray(o.source_poses, np.float32)
+        rot_all = np.asarray(o.rotations, np.float32)
+        log_gt_all = np.asarray(dataset.log_stft, np.float32)
 
-        mag_pred = log_to_magnitude(log_pred)
-        mag_gt = log_to_magnitude(jnp.asarray(dataset.log_stft))
-
-        wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
-                               win_length=cfg.win_len, key=key)
-        wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
-                                   win_length=cfg.win_len, key=key)
-        wav_pred.block_until_ready()
-        render_time = time.perf_counter() - t0
+        @jax.jit
+        def render_chunk(params, mic, src, rot, gt_log, k):
+            log_pred = self._render_all_impl(params, mic, src, rot)
+            mag_pred = log_to_magnitude(log_pred)
+            mag_gt = log_to_magnitude(gt_log)
+            wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
+                                   hop_length=cfg.hop_len,
+                                   win_length=cfg.win_len, key=k)
+            wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft,
+                                       hop_length=cfg.hop_len,
+                                       win_length=cfg.win_len, key=k)
+            return log_pred, mag_pred, mag_gt, wav_pred, wav_gt_istft
 
         evaluator = (RAFEvaluator(fs=cfg.fs) if cfg.dataset == "RAF"
                      else SoundSpacesEvaluator(fs=cfg.fs))
-
-        log_pred_np = np.asarray(log_pred)
-        mag_pred_np = np.asarray(mag_pred)
-        mag_gt_np = np.asarray(mag_gt)
-        wav_pred_np = np.asarray(wav_pred)
-        wav_gt_istft_np = np.asarray(wav_gt_istft)
-
         per_rir = []
-        for i in range(n):
-            wav_gt_ff = (dataset.waveforms[i] if dataset.waveforms is not None
-                         else wav_gt_istft_np[i])
-            m = evaluator.get_full_metrics(
-                mag_pred_np[i], mag_gt_np[i], wav_gt_ff,
-                wav_pred_np[i], wav_gt_istft_np[i],
-                log_pred_np[i], np.asarray(dataset.log_stft[i]))
-            per_rir.append(m)
+        quick_acc: dict[str, float] = {}
+        render_time = 0.0
+        for i in range(0, n, chunk):
+            sl = slice(i, i + chunk)
+            m_count = len(range(*sl.indices(n)))
+            pad = chunk - m_count
+            pick = (lambda a: np.concatenate(
+                [a[sl], np.repeat(a[-1:], pad, axis=0)]) if pad else a[sl])
+            gt_log_np = pick(log_gt_all)
+            t0 = time.perf_counter()
+            outs = render_chunk(state.params, jnp.asarray(pick(mic_all)),
+                                jnp.asarray(pick(src_all)),
+                                jnp.asarray(pick(rot_all)),
+                                jnp.asarray(gt_log_np), key)
+            outs[3].block_until_ready()
+            render_time += time.perf_counter() - t0
+            (log_pred_np, mag_pred_np, mag_gt_np, wav_pred_np,
+             wav_gt_istft_np) = (np.asarray(x) for x in outs)
+            for j in range(m_count):
+                gi = i + j
+                wav_gt_ff = (dataset.waveforms[gi]
+                             if dataset.waveforms is not None
+                             else wav_gt_istft_np[j])
+                per_rir.append(evaluator.get_full_metrics(
+                    mag_pred_np[j], mag_gt_np[j], wav_gt_ff,
+                    wav_pred_np[j], wav_gt_istft_np[j],
+                    log_pred_np[j], gt_log_np[j]))
+            # chunk-size-weighted running mean of the quick metrics
+            qm = evaluator.get_stft_metrics(mag_pred_np[:m_count],
+                                            mag_gt_np[:m_count])
+            for k2, v in qm.items():
+                quick_acc[f"quick_{k2}"] = (
+                    quick_acc.get(f"quick_{k2}", 0.0) + float(v) * m_count)
 
         out = {}
         for k in per_rir[0]:
-            vals = np.asarray([m[k] for m in per_rir], dtype=np.float64)
+            vals = np.asarray([m2[k] for m2 in per_rir], dtype=np.float64)
             out[k] = float(np.mean(vals))
             out[f"{k}_std"] = float(np.std(vals))
         out["num_rays_per_sec_audio"] = n * cfg.max_len / render_time
         out["fps_audio"] = n / render_time
-        out.update({f"quick_{k}": v for k, v in
-                    evaluator.get_stft_metrics(mag_pred_np, mag_gt_np).items()})
+        for k2, v in quick_acc.items():
+            out[k2] = v / n
         return out

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neraf_tpu.configs.config import ExperimentConfig
-from neraf_tpu.data.loader import sample_audio_batch
+from neraf_tpu.data.loader import resolve_audio_batch, sample_audio_batch
 from neraf_tpu.data.vision_data import generate_rays, sample_pixel_batch
 from neraf_tpu.dsp.griffin_lim import griffin_lim
 from neraf_tpu.dsp.stft import log_to_magnitude
@@ -43,7 +43,7 @@ def _maybe_lpips(pred, gt) -> float | None:
     """LPIPS when converted pretrained weights are available (reference
     reports PSNR/SSIM/LPIPS per eval view, NeRAF_pipeline.py:328); None —
     not NaN — when no weights resolve, so metric dicts stay JSON-clean."""
-    from neraf_tpu.metrics.lpips import (
+    from neraf_tpu.metrics.lpips_impl import (
         load_params, lpips_distance, resolve_default_weights,
     )
 
@@ -163,8 +163,21 @@ class JointPipeline:
 
     def _grid_feature(self, params: dict, batch_stats, grid: jnp.ndarray,
                       train: bool):
-        """Encode the grid -> (n_features,) descriptor (+ updated BN stats)."""
+        """Encode the grid -> (n_features,) descriptor (+ updated BN stats).
+
+        Under a mesh, the (1, D, H, W, C) volume is SPATIALLY sharded on
+        depth over the data axis, so the conv stack — the most FLOP-heavy op
+        in the joint step (SURVEY §3.1) — splits across chips instead of
+        running replicated on every one; GSPMD inserts the halo exchanges
+        for the conv windows and the cross-chip reductions for BatchNorm
+        statistics and the final average pool (SURVEY §5.8).
+        """
         vol = grid_to_volume(grid, self.grid_res)
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            vol = jax.lax.with_sharding_constraint(
+                vol, NamedSharding(self.mesh, P(None, "data")))
         if train:
             feat, mut = self.resnet.apply(
                 {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
@@ -190,7 +203,7 @@ class JointPipeline:
         rays = generate_rays(vision_arrays, cam, px, py)
         gt_rgb = image_arrays["images"][cam, py, px]
 
-        audio_batch = sample_audio_batch(
+        audio_batch = resolve_audio_batch(
             k_aud, audio_arrays, cfg.audio_data.batch_size,
             self.audio_model.config.max_len)
 
@@ -333,7 +346,7 @@ class JointPipeline:
             apply_cam_opt=False)
         losses = self.vision_model.loss(vout, gt_rgb)
 
-        audio_batch = sample_audio_batch(
+        audio_batch = resolve_audio_batch(
             k_aud, audio_arrays, cfg.audio_data.batch_size,
             self.audio_model.config.max_len)
         feat, _ = self._grid_feature(state.params, state.batch_stats,
@@ -394,8 +407,11 @@ class JointPipeline:
             tv = grid_top_view(np.asarray(state.grid), self.grid_res)
             images["grid"] = tv["color"]
             images["grid_density"] = tv["density"]
+            # same log->mag inversion as every other call site
+            # (dsp/stft.py log_to_magnitude, reference NeRAF_model.py:574-575)
             metrics["audio_mag"] = float(np.mean(
-                (np.exp(log_pred_np) - np.exp(gt_np)) ** 2) * 2)
+                (np.asarray(log_to_magnitude(log_pred_np))
+                 - np.asarray(log_to_magnitude(gt_np))) ** 2) * 2)
         return metrics, images
 
     def query_grid_full(self, state: JointTrainState,
@@ -515,7 +531,8 @@ class JointPipeline:
         return result
 
     def evaluate_audio_device(self, state: JointTrainState, dataset,
-                              key: jax.Array | None = None) -> dict:
+                              key: jax.Array | None = None,
+                              chunk: int = 512) -> dict:
         """Fully on-device eval sweep: render + Griffin-Lim + batched
         T60/EDT/C50 as ONE jitted computation (BASELINE config #5).
 
@@ -587,75 +604,120 @@ class JointPipeline:
             c50_err = jnp.mean(jnp.abs(c50_pr - c50_gt), axis=-1)
 
             mag_gt = log_to_magnitude(gt_log)
-            quick = jnp.mean((mag_pred - mag_gt) ** 2) * 2
+            quick = jnp.mean((mag_pred - mag_gt) ** 2,
+                             axis=tuple(range(1, mag_pred.ndim))) * 2
+            # per-RIR vectors; host aggregates (chunked for big eval splits)
             return {
-                "audio_T60_mean_error": jnp.mean(rel) * 100.0,
-                # host path averages the per-RIR 0/1 invalid flags
-                "audio_total_invalids_T60": jnp.mean(invalid.astype(jnp.float32)),
-                "audio_EDT": jnp.mean(edt_err),
-                "audio_C50": jnp.mean(c50_err),
+                "audio_T60_mean_error": rel * 100.0,
+                "audio_total_invalids_T60": invalid.astype(jnp.float32),
+                "audio_EDT": edt_err,
+                "audio_C50": c50_err,
                 "audio_mag": quick,
             }
 
-        gt_wav = (jnp.asarray(dataset.waveforms) if dataset.waveforms is not None
-                  else jnp.zeros((n, cfg.mic_ch, cfg.max_len * cfg.hop_len)))
+        mic_all = np.asarray(o.microphone_poses, np.float32)
+        src_all = np.asarray(o.source_poses, np.float32)
+        rot_all = np.asarray(o.rotations, np.float32)
+        wav_all = (np.asarray(dataset.waveforms, np.float32)
+                   if dataset.waveforms is not None
+                   else np.zeros((n, cfg.mic_ch, cfg.max_len * cfg.hop_len),
+                                 np.float32))
+        log_all = np.asarray(dataset.log_stft, np.float32)
+
+        # fixed-size chunks: eval memory is O(chunk), not O(N) — the big
+        # SoundSpaces scenes have ~11k eval RIRs, far past one-shot HBM
+        chunk = min(n, chunk)
+        per_rir: dict[str, list] = {}
         t0 = time.perf_counter()
-        out = sweep(state.params, state.batch_stats, state.grid,
-                    jnp.asarray(o.microphone_poses, jnp.float32),
-                    jnp.asarray(o.source_poses, jnp.float32),
-                    jnp.asarray(o.rotations, jnp.float32),
-                    jnp.asarray(dataset.log_stft), gt_wav, key)
-        out = {k: float(np.asarray(v)) for k, v in out.items()}
+        for i in range(0, n, chunk):
+            sl = slice(i, i + chunk)
+            pad = chunk - len(range(*sl.indices(n)))
+            pick = (lambda a: np.concatenate(
+                [a[sl], np.repeat(a[-1:], pad, axis=0)]) if pad else a[sl])
+            out = sweep(state.params, state.batch_stats, state.grid,
+                        jnp.asarray(pick(mic_all)), jnp.asarray(pick(src_all)),
+                        jnp.asarray(pick(rot_all)), jnp.asarray(pick(log_all)),
+                        jnp.asarray(pick(wav_all)), key)
+            for k2, v in out.items():
+                vals = np.asarray(v)[: chunk - pad] if pad else np.asarray(v)
+                per_rir.setdefault(k2, []).append(vals)
         dt = time.perf_counter() - t0
+
+        out = {k2: float(np.mean(np.concatenate(v)))
+               for k2, v in per_rir.items()}
         out["fps_audio"] = n / dt
         out["num_rays_per_sec_audio"] = n * cfg.max_len / dt
         return out
 
     def evaluate_audio(self, state: JointTrainState, dataset,
-                       key: jax.Array | None = None) -> dict:
-        """All-eval-RIRs sweep with grid conditioning (eval-mode BN)."""
+                       key: jax.Array | None = None, chunk: int = 512) -> dict:
+        """All-eval-RIRs sweep with grid conditioning (eval-mode BN).
+
+        Renders + Griffin-Lims in fixed-size chunks so device memory stays
+        O(chunk) — apartment-scale eval splits (~11k RIRs) don't fit HBM in
+        one shot; host-side room-acoustics metrics per RIR as before.
+        """
         cfg = self.audio_model.config
         o = dataset.outputs
         n = len(o.audio_filenames)
         if n == 0:
             return {}
         key = jax.random.PRNGKey(0) if key is None else key
+        chunk = min(n, chunk)
 
-        t0 = time.perf_counter()
-        log_pred = self._render_rirs(
-            state.params, state.batch_stats, state.grid,
-            jnp.asarray(o.microphone_poses, jnp.float32),
-            jnp.asarray(o.source_poses, jnp.float32),
-            jnp.asarray(o.rotations, jnp.float32))
-        mag_pred = log_to_magnitude(log_pred)
-        mag_gt = log_to_magnitude(jnp.asarray(dataset.log_stft))
-        wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
-                               win_length=cfg.win_len, key=key)
-        wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft, hop_length=cfg.hop_len,
-                                   win_length=cfg.win_len, key=key)
-        wav_pred.block_until_ready()
-        render_time = time.perf_counter() - t0
+        mic_all = np.asarray(o.microphone_poses, np.float32)
+        src_all = np.asarray(o.source_poses, np.float32)
+        rot_all = np.asarray(o.rotations, np.float32)
 
         evaluator = (RAFEvaluator(fs=cfg.fs) if cfg.dataset == "RAF"
                      else SoundSpacesEvaluator(fs=cfg.fs))
-        log_pred_np = np.asarray(log_pred)
-        mag_pred_np = np.asarray(mag_pred)
-        mag_gt_np = np.asarray(mag_gt)
-        wav_pred_np = np.asarray(wav_pred)
-        wav_gt_istft_np = np.asarray(wav_gt_istft)
-
         per_rir = []
-        for i in range(n):
-            wav_gt_ff = (dataset.waveforms[i] if dataset.waveforms is not None
-                         else wav_gt_istft_np[i])
-            per_rir.append(evaluator.get_full_metrics(
-                mag_pred_np[i], mag_gt_np[i], wav_gt_ff,
-                wav_pred_np[i], wav_gt_istft_np[i],
-                log_pred_np[i], np.asarray(dataset.log_stft[i])))
+        render_time = 0.0
+
+        @jax.jit
+        def render_chunk(params, batch_stats, grid, mic, src, rot, gt_log, k):
+            log_pred = self._render_rirs_impl(params, batch_stats, grid,
+                                              mic, src, rot)
+            mag_pred = log_to_magnitude(log_pred)
+            mag_gt = log_to_magnitude(gt_log)
+            wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
+                                   hop_length=cfg.hop_len,
+                                   win_length=cfg.win_len, key=k)
+            wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft,
+                                       hop_length=cfg.hop_len,
+                                       win_length=cfg.win_len, key=k)
+            return log_pred, mag_pred, mag_gt, wav_pred, wav_gt_istft
+
+        for i in range(0, n, chunk):
+            sl = slice(i, i + chunk)
+            m = len(range(*sl.indices(n)))
+            pad = chunk - m
+            pick = (lambda a: np.concatenate(
+                [a[sl], np.repeat(a[-1:], pad, axis=0)]) if pad else a[sl])
+            gt_log_np = pick(np.asarray(dataset.log_stft, np.float32))
+            t0 = time.perf_counter()
+            outs = render_chunk(state.params, state.batch_stats, state.grid,
+                                jnp.asarray(pick(mic_all)),
+                                jnp.asarray(pick(src_all)),
+                                jnp.asarray(pick(rot_all)),
+                                jnp.asarray(gt_log_np), key)
+            outs[3].block_until_ready()
+            render_time += time.perf_counter() - t0
+            (log_pred_np, mag_pred_np, mag_gt_np, wav_pred_np,
+             wav_gt_istft_np) = (np.asarray(x) for x in outs)
+            for j in range(m):
+                gi = i + j
+                wav_gt_ff = (dataset.waveforms[gi]
+                             if dataset.waveforms is not None
+                             else wav_gt_istft_np[j])
+                per_rir.append(evaluator.get_full_metrics(
+                    mag_pred_np[j], mag_gt_np[j], wav_gt_ff,
+                    wav_pred_np[j], wav_gt_istft_np[j],
+                    log_pred_np[j], gt_log_np[j]))
 
         out = {}
         for k in per_rir[0]:
-            vals = np.asarray([m[k] for m in per_rir], dtype=np.float64)
+            vals = np.asarray([m2[k] for m2 in per_rir], dtype=np.float64)
             out[k] = float(np.mean(vals))
             out[f"{k}_std"] = float(np.std(vals))
         out["num_rays_per_sec_audio"] = n * cfg.max_len / render_time

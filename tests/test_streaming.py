@@ -1,0 +1,204 @@
+"""Out-of-HBM streaming data path (data/streaming.py + loader.resolve_audio_batch).
+
+The reference streams arbitrarily large splits through a torch DataLoader
+(NeRAF_datamanager.py:84-133); these tests pin that the TPU streaming path
+(1) gathers exactly what the in-jit HBM gather would, (2) trains the engine,
+and (3) handles an apartment_1-SCALE split (111,513 recordings x 2x257x101
+~ 23 GB of log-STFT) without materializing it on device — via a sparse
+memmap, so the test costs MBs, not GBs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neraf_tpu.data.loader import gather_audio_batch, resolve_audio_batch
+from neraf_tpu.data.streaming import (
+    StreamingAudioSampler,
+    should_stream,
+    split_device_bytes,
+)
+
+
+@dataclasses.dataclass
+class _Outputs:
+    microphone_poses: np.ndarray
+    source_poses: np.ndarray
+    rotations: np.ndarray
+    audio_filenames: list
+    aabb: np.ndarray
+
+
+@dataclasses.dataclass
+class _Dataset:
+    log_stft: np.ndarray
+    outputs: _Outputs
+    max_len: int
+    waveforms: np.ndarray | None = None
+
+    def slice_arrays(self):
+        o = self.outputs
+        return dict(
+            mic_pose=jnp.asarray(o.microphone_poses, jnp.float32),
+            source_pose=jnp.asarray(o.source_poses, jnp.float32),
+            rot=jnp.asarray(o.rotations, jnp.float32),
+            log_stft=jnp.asarray(self.log_stft),
+        )
+
+
+def _make_dataset(rng, n=12, C=2, F=9, T=7):
+    return _Dataset(
+        log_stft=rng.standard_normal((n, C, F, T)).astype(np.float32),
+        outputs=_Outputs(
+            microphone_poses=rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            source_poses=rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            rotations=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+            audio_filenames=[str(i) for i in range(n)],
+            aabb=np.array([[-1.0] * 3, [1.0] * 3], np.float32),
+        ),
+        max_len=T,
+    )
+
+
+def test_streamed_batch_matches_in_jit_gather(rng):
+    """The streaming structure resolves to EXACTLY the HBM path's batch."""
+    ds = _make_dataset(rng)
+    arrays = ds.slice_arrays()
+    rec = np.array([0, 3, 3, 11, 7], np.int32)
+    t = np.array([6, 0, 2, 1, 5], np.int32)
+
+    hbm_batch = gather_audio_batch(arrays, jnp.asarray(rec), jnp.asarray(t))
+
+    streamed_in = {
+        "mic_pose": arrays["mic_pose"],
+        "source_pose": arrays["source_pose"],
+        "rot": arrays["rot"],
+        "audio_idx": jnp.asarray(rec),
+        "time_query": jnp.asarray(t),
+        "data": jnp.asarray(ds.log_stft[rec, :, :, t]),
+    }
+    resolved = jax.jit(
+        lambda a: resolve_audio_batch(jax.random.PRNGKey(0), a, 5, ds.max_len)
+    )(streamed_in)
+
+    for k in hbm_batch:
+        np.testing.assert_array_equal(np.asarray(resolved[k]),
+                                      np.asarray(hbm_batch[k]), err_msg=k)
+
+
+def test_sampler_draws_valid_batches(rng):
+    ds = _make_dataset(rng)
+    with StreamingAudioSampler(ds, batch_size=8, seed=1) as sampler:
+        seen = []
+        for _ in range(4):
+            b = sampler.next()
+            assert b["data"].shape == (8, 2, 9)
+            rec = np.asarray(b["audio_idx"])
+            t = np.asarray(b["time_query"])
+            assert rec.min() >= 0 and rec.max() < 12
+            assert t.min() >= 0 and t.max() < ds.max_len
+            np.testing.assert_array_equal(
+                np.asarray(b["data"]), ds.log_stft[rec, :, :, t])
+            seen.append((rec, t))
+    # successive draws differ (it's a sampler, not a repeater)
+    assert any(not np.array_equal(seen[0][0], s[0]) for s in seen[1:])
+
+
+def test_audio_engine_trains_on_streamed_batches(rng, tmp_path):
+    from neraf_tpu.configs.config import AudioModelConfig, ExperimentConfig
+    from neraf_tpu.engine.audio_engine import AudioEngine
+    from neraf_tpu.models.audio import AudioModel
+
+    ds = _make_dataset(rng, n=10, C=2, F=9, T=7)
+    cfg = ExperimentConfig(dataset="SoundSpaces")
+    cfg.audio_model = AudioModelConfig(
+        dataset="SoundSpaces", max_len=7, n_freq_stft=9, w_field=16,
+        use_grid=False).resolve()
+    cfg.audio_data.batch_size = 16
+    cfg.audio_data.max_len = 7
+    engine = AudioEngine(config=cfg, model=AudioModel(config=cfg.audio_model),
+                         aabb=jnp.asarray(ds.outputs.aabb))
+    state = engine.init_state()
+    with StreamingAudioSampler(ds, batch_size=16, seed=2) as sampler:
+        losses = []
+        for _ in range(5):
+            state, metrics = engine.train_step(state, sampler.next())
+            losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # same engine also accepts the HBM structure without retracing issues
+    state, metrics = engine.train_step(state, ds.slice_arrays())
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_should_stream_auto_thresholds(rng):
+    ds = _make_dataset(rng)
+
+    class Cfg:
+        streaming = "auto"
+        stream_threshold_gb = 1e-9  # tiny split exceeds this
+
+    assert split_device_bytes(ds.log_stft) == ds.log_stft.nbytes
+    assert should_stream(Cfg(), ds)
+    Cfg.stream_threshold_gb = 8.0
+    assert not should_stream(Cfg(), ds)
+    Cfg.streaming = "on"
+    assert should_stream(Cfg(), ds)
+    Cfg.streaming = "off"
+    Cfg.stream_threshold_gb = 1e-9
+    assert not should_stream(Cfg(), ds)
+
+
+def test_apartment1_scale_split_streams_without_hbm():
+    """Apartment_1 train-split SHAPES (~23 GB log-STFT) through the streaming
+    path: the host store is a lazily-backed in-RAM array (np.zeros commits
+    nothing until touched; reads of untouched pages hit the kernel's shared
+    zero page, so this test costs MBs of RSS, not GBs), and the device only
+    ever sees batch-sized buffers. This is the scale the HBM-resident path
+    cannot hold on a 16 GB chip (docs/DATA.md)."""
+    N, C, F, T = 111_513, 2, 257, 101
+    store = np.zeros((N, C, F, T), np.float32)
+    # write a few recognizable entries; untouched pages read back as zeros
+    store[0, :, :, 0] = 1.5
+    store[N - 1, :, :, T - 1] = -2.5
+
+    rng = np.random.default_rng(3)
+    ds = _Dataset(
+        log_stft=store,
+        outputs=_Outputs(
+            microphone_poses=rng.uniform(-1, 1, (N, 3)).astype(np.float32),
+            source_poses=rng.uniform(-1, 1, (N, 3)).astype(np.float32),
+            rotations=rng.uniform(0, 1, (N, 3)).astype(np.float32),
+            audio_filenames=[],
+            aabb=np.array([[-1.0] * 3, [1.0] * 3], np.float32),
+        ),
+        max_len=T,
+    )
+    assert split_device_bytes(ds.log_stft) > 20 * 2**30  # the point
+
+    batch_bytes = 0
+    with StreamingAudioSampler(ds, batch_size=2048, seed=4) as sampler:
+        for _ in range(3):
+            b = sampler.next()
+            assert b["data"].shape == (2048, C, F)
+            batch_bytes = sum(np.asarray(v).nbytes for k, v in b.items()
+                              if k in ("data", "audio_idx", "time_query"))
+            rec = np.asarray(b["audio_idx"])
+            t = np.asarray(b["time_query"])
+            # spot-check gather correctness against the two written entries
+            hit = (rec == 0) & (t == 0)
+            if hit.any():
+                assert np.all(np.asarray(b["data"])[hit] == 1.5)
+    # streamed device commitment is MBs (batch), not GBs (split)
+    assert batch_bytes < 32 * 2**20
+
+
+def test_resolve_audio_batch_rejects_neither_structure():
+    with pytest.raises(KeyError):
+        resolve_audio_batch(jax.random.PRNGKey(0), {"bogus": jnp.zeros(3)},
+                            4, 7)
