@@ -72,6 +72,7 @@ class NerfactoField(nn.Module):
                 log2_hashmap_size=cfg.log2_hashmap_size,
                 base_res=cfg.base_res,
                 max_res=cfg.max_res,
+                grad_mode=cfg.hash_grad_mode,
             ))
             base_layers = 2
             base_width = cfg.hidden_dim
@@ -180,6 +181,7 @@ class ProposalDensityField(nn.Module):
                 log2_hashmap_size=self.spec.log2_hashmap_size,
                 base_res=self.spec.base_res,
                 max_res=self.spec.max_res,
+                grad_mode=self.spec.hash_grad_mode,
             ))(x)
             h = nn.relu(nn.Dense(self.spec.hidden_dim, dtype=self.dtype)(h))
         else:

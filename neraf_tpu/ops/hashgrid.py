@@ -39,13 +39,24 @@ _PRIMES = (1, 2654435761, 805459861)
 
 @dataclasses.dataclass(frozen=True)
 class HashGridSpec:
-    """Static configuration of a multires hash encoding."""
+    """Static configuration of a multires hash encoding.
+
+    grad_mode selects the table-gradient strategy (see gather_rows):
+      - "auto": "scatter" on CPU/GPU (XLA-native, fastest there);
+        "scatter_set" on TPU — the axon backend's scatter-ADD crashes the
+        worker after ~100 cumulative executions (docs/HASH_PERF.md:67-92),
+        while the sort+cumsum+unique-overwrite form avoids add-combining.
+      - "scatter" / "scatter_set" / "gather" force a strategy ("gather" is
+        fully scatter-free: sort + cumsum + segment-boundary gathers — the
+        guaranteed-safe fallback if overwrite scatter also faults).
+    """
 
     num_levels: int = 16
     features_per_level: int = 2
     log2_hashmap_size: int = 19
     base_res: int = 16
     max_res: int = 2048
+    grad_mode: str = "auto"
 
     @property
     def table_size(self) -> int:
@@ -72,6 +83,101 @@ def init_hash_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jn
     """Uniform(-1e-4, 1e-4) init, matching instant-NGP/tcnn."""
     shape = (spec.num_levels, spec.table_size, spec.features_per_level)
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Row gather with a selectable-backward custom VJP.
+#
+# The autodiff backward of a row gather is an XLA scatter-ADD into the table
+# — which crashes the axon TPU worker after ~100 cumulative executions
+# (docs/HASH_PERF.md:67-92), killing hash-grid TRAINING on that backend. The
+# replacement gradients here reformulate the segment reduction so no
+# add-combining scatter executes:
+#
+#   scatter_set: sort contributions by row index; a cumulative sum along the
+#     sorted order gives each duplicate-row RUN's total at its last element
+#     (csum[end] - csum[before start], the "before start" value fetched with
+#     a cummax-of-run-starts gather); ONE overwrite scatter (unique indices,
+#     mode=drop) places the totals into the dense gradient. No combiner.
+#   gather: additionally replaces that final placement with
+#     searchsorted(sorted_idx, arange(rows+1)) segment boundaries and a
+#     boundary-difference gather — zero scatters of any kind, at
+#     O(rows * log n_contributions) gather cost. Fallback if the backend
+#     faults on overwrite scatter too.
+#
+# Gradients w.r.t. POSITIONS are unaffected: they flow through the trilinear
+# weights outside this primitive (idx is integral).
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows(table2d: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
+                grad_mode: str) -> jnp.ndarray:
+    """table2d[(n_rows, F)][idx (M,)] -> (M, F), with a chosen VJP strategy."""
+    return table2d[idx]
+
+
+def _gather_rows_fwd(table2d, idx, n_rows, grad_mode):
+    return table2d[idx], idx
+
+
+def _resolve_grad_mode(grad_mode: str) -> str:
+    if grad_mode != "auto":
+        return grad_mode
+    # the session's TPU registers as platform "axon" (tunneled PJRT plugin)
+    return ("scatter_set" if jax.default_backend() in ("tpu", "axon")
+            else "scatter")
+
+
+def _segment_totals_sorted(sidx: jnp.ndarray, sval: jnp.ndarray):
+    """Per-run totals of duplicate-index runs in a sorted contribution list.
+
+    Returns (is_end (M,) bool, totals (M, F)) where totals[m] is the full
+    run sum for the run ending at m (valid only where is_end).
+    """
+    m = sidx.shape[0]
+    csum = jnp.cumsum(sval, axis=0)  # (M, F) inclusive
+    ecs = jnp.concatenate([jnp.zeros_like(sval[:1]), csum[:-1]], axis=0)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    is_end = jnp.concatenate(
+        [sidx[1:] != sidx[:-1], jnp.ones((1,), bool)])
+    # run_start[m] = index of the start of m's run (cummax propagates the
+    # latest start position forward)
+    start_pos = jnp.where(is_start, jnp.arange(m), 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, start_pos)
+    totals = csum - ecs[run_start]  # exact at run ends
+    return is_end, totals
+
+
+def _gather_rows_bwd(n_rows, grad_mode, idx, g):
+    mode = _resolve_grad_mode(grad_mode)
+    F = g.shape[-1]
+    if mode == "scatter":
+        grad = jnp.zeros((n_rows, F), g.dtype).at[idx].add(g)
+        return grad, None
+
+    order = jnp.argsort(idx)
+    sidx = idx[order]
+    sval = g[order]
+    if mode == "scatter_set":
+        is_end, totals = _segment_totals_sorted(sidx, sval)
+        # unique-index overwrite placement; non-ends dropped via row n_rows
+        put_at = jnp.where(is_end, sidx, n_rows)
+        grad = jnp.zeros((n_rows, F), g.dtype).at[put_at].set(
+            totals, mode="drop")
+        return grad, None
+    if mode == "gather":
+        csum = jnp.concatenate(
+            [jnp.zeros_like(sval[:1]), jnp.cumsum(sval, axis=0)], axis=0)
+        bounds = jnp.searchsorted(
+            sidx, jnp.arange(n_rows + 1, dtype=sidx.dtype), side="left")
+        grad = csum[bounds[1:]] - csum[bounds[:-1]]
+        return grad.astype(g.dtype), None
+    raise ValueError(f"unknown grad_mode {grad_mode!r}")
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -133,7 +239,8 @@ def hash_encoding(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp
     # slower for identical rows.
     level_offset = (jnp.arange(spec.num_levels, dtype=jnp.int32) * spec.table_size)
     flat_idx = (idx + level_offset[:, None, None]).reshape(-1)  # (L*B*8,)
-    feats = table.reshape(-1, spec.features_per_level)[flat_idx]
+    feats = gather_rows(table.reshape(-1, spec.features_per_level), flat_idx,
+                        spec.num_levels * spec.table_size, spec.grad_mode)
     feats = feats.reshape(spec.num_levels, B, 8, spec.features_per_level)
 
     out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # (L, B, F)

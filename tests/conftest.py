@@ -19,6 +19,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the two heaviest tests (the 8-way mesh joint
+# step and the hermetic driver dryrun) spend nearly all their time in XLA CPU
+# compilation of the same graphs run after run — with a warm cache they drop
+# from minutes to seconds. Entries invalidate automatically when the traced
+# HLO changes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/neraf_jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -92,3 +92,65 @@ def test_hash_encoding_batch_shape():
     table = init_hash_table(jax.random.PRNGKey(0), spec)
     x = jax.random.uniform(jax.random.PRNGKey(1), (3, 5, 3))
     assert hash_encoding(table, x, spec).shape == (3, 5, spec.out_dim)
+
+
+def test_gather_rows_vjp_strategies_match_autodiff(rng):
+    """The scatter-free table gradients (scatter_set / gather) must equal the
+    XLA autodiff scatter-add gradient bit-for-bit-ish. These exist because
+    the axon TPU backend's scatter-add crashes the worker during hash-grid
+    TRAINING (docs/HASH_PERF.md:67-92); tcnn-parity training rides on them."""
+    import jax
+    import jax.numpy as jnp
+
+    from neraf_tpu.ops.hashgrid import gather_rows
+
+    n_rows, M, F = 64, 512, 4
+    table = jnp.asarray(rng.standard_normal((n_rows, F)), jnp.float32)
+    # heavy duplication + untouched rows + touched row 0 and n_rows-1
+    idx = jnp.asarray(
+        np.concatenate([rng.integers(0, 40, M - 2), [0, n_rows - 1]]),
+        jnp.int32)
+    ct = jnp.asarray(rng.standard_normal((M, F)), jnp.float32)
+
+    def loss(tbl, mode):
+        return jnp.sum(gather_rows(tbl, idx, n_rows, mode) * ct)
+
+    ref = jax.grad(lambda tbl: jnp.sum(tbl[idx] * ct))(table)
+    for mode in ("scatter", "scatter_set", "gather"):
+        g = jax.grad(loss)(table, mode)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=mode)
+        # under jit too (trace-time strategy dispatch)
+        gj = jax.jit(jax.grad(loss), static_argnums=1)(table, mode)
+        np.testing.assert_allclose(np.asarray(gj), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"jit:{mode}")
+
+
+def test_hash_encoding_grads_identical_across_grad_modes(rng):
+    """Full encoding: table AND position gradients must be identical whatever
+    backward strategy the table gather uses (positions differentiate through
+    the trilinear weights, outside the custom VJP)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    spec0 = HashGridSpec(num_levels=3, features_per_level=2,
+                         log2_hashmap_size=7, base_res=4, max_res=32,
+                         grad_mode="scatter")
+    table = init_hash_table(jax.random.PRNGKey(1), spec0)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (128, 3)), jnp.float32)
+
+    def loss(tbl, pos, spec):
+        return jnp.sum(jnp.sin(hash_encoding(tbl, pos, spec) * 3.0))
+
+    ref_gt, ref_gx = jax.grad(loss, argnums=(0, 1))(table, x, spec0)
+    # tolerance: fp32 reassociation — the sorted cumsum accumulates long
+    # duplicate runs (coarse levels) in a different order than scatter-add
+    for mode in ("scatter_set", "gather"):
+        spec = dc.replace(spec0, grad_mode=mode)
+        gt, gx = jax.grad(loss, argnums=(0, 1))(table, x, spec)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(ref_gt),
+                                   rtol=5e-3, atol=5e-4, err_msg=f"table:{mode}")
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
+                                   rtol=5e-3, atol=5e-4, err_msg=f"pos:{mode}")
