@@ -162,7 +162,16 @@ def train_one(encoding: str, steps: int, eval_every: int, seed: int = 0,
     cam_idx = np.repeat(np.arange(n_train, dtype=np.int32), size * size)
     eorigins, edirs = rays_for_views(ec2ws, focal, size)
 
-    cfg = VisionModelConfig(encoding=encoding)
+    # "hash:L4F8"-style suffixes select the table layout; the scatter-free
+    # table gradient (ops/hashgrid.py grad_mode='auto' -> scatter_set on
+    # TPU) makes hash TRAINING possible on this backend (round-2's
+    # scatter-add backward crashed the worker, docs/HASH_PERF.md)
+    enc_name, _, layout = encoding.partition(":")
+    layout_kw = {}
+    if layout:
+        L, F = layout.upper().lstrip("L").split("F")
+        layout_kw = dict(num_levels=int(L), features_per_level=int(F))
+    cfg = VisionModelConfig(encoding=enc_name, **layout_kw)
     model = VisionModel(config=cfg, num_cameras=n_train, near=0.05, far=20.0)
     params = model.init(jax.random.PRNGKey(seed))
 
@@ -255,11 +264,12 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--encodings", default="fourier,hash",
-                    help="comma list; hash training is capped by a backend "
-                         "bug (see docs/HASH_PERF.md)")
-    ap.add_argument("--hash-steps", type=int, default=100,
-                    help="step cap for the hash run (TPU worker crashes "
-                         "after ~100+ scatter-add train steps)")
+                    help="comma list; hash accepts layout suffixes, e.g. "
+                         "'hash:L8F4,hash:L4F8'")
+    ap.add_argument("--hash-steps", type=int, default=None,
+                    help="optional step cap for hash runs (full training "
+                         "works since the scatter-free backward; the old "
+                         "scatter-add crash cap is no longer needed)")
     args = ap.parse_args()
 
     from neraf_tpu.utils.cache import enable_compilation_cache
@@ -268,12 +278,14 @@ def main():
 
     results = {}
     for enc in args.encodings.split(","):
-        steps = min(args.steps, args.hash_steps) if enc == "hash" else args.steps
+        is_hash = enc.startswith("hash")
+        steps = (min(args.steps, args.hash_steps)
+                 if is_hash and args.hash_steps else args.steps)
         eval_every = min(args.eval_every, steps)
         print(f"training encoding={enc} for {steps} steps", flush=True)
         results[enc] = train_one(
             enc, steps, eval_every,
-            dispatch_chunk=50 if enc == "hash" else None)
+            dispatch_chunk=50 if is_hash else None)
 
     lines = [
         "",
@@ -290,7 +302,8 @@ def main():
         "|---|---|---|---|---|",
     ]
     fc, fw = results.get("fourier", ([], 1.0))
-    hc, hw = results.get("hash", ([], 1.0))
+    hash_keys = [k for k in results if k.startswith("hash")]
+    hc, hw = results.get(hash_keys[0], ([], 1.0)) if hash_keys else ([], 1.0)
     by_step = {s: (p, m) for s, p, m in hc}
     for s, fp, fs in fc:
         hp, hs = by_step.get(s, (float("nan"), float("nan")))
@@ -303,9 +316,8 @@ def main():
                       f"({fc[-1][0] / fw:.1f} steps/s)."]
     if hc:
         lines += [f"hash wall-clock: {hw:.0f}s for {hc[-1][0]} steps "
-                  f"({hc[-1][0] / hw:.1f} steps/s); capped at --hash-steps — "
-                  "longer hash training crashes the TPU worker (backend "
-                  "scatter bug, docs/HASH_PERF.md)."]
+                  f"({hc[-1][0] / hw:.1f} steps/s) via the scatter-free "
+                  "table gradient (ops/hashgrid.py)."]
     with open(Path(__file__).resolve().parent.parent / "VALIDATION.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
