@@ -287,10 +287,13 @@ def main():
             enc, steps, eval_every,
             dispatch_chunk=50 if is_hash else None)
 
+    enc_keys = list(results)
+    header = "| step |" + "".join(
+        f" {k} PSNR | {k} SSIM |" for k in enc_keys)
     lines = [
         "",
-        "## Encoding quality comparison: fourier vs hash "
-        f"(matched {args.steps}-step budget)",
+        "## Encoding quality comparison: "
+        f"{' vs '.join(enc_keys)} (matched {args.steps}-step budget)",
         "",
         f"Scene: 5 occluding striped spheres + checkerboard ground plane + "
         f"position-textured enclosing background sphere; 32 train / 4 "
@@ -298,26 +301,26 @@ def main():
         f"proposal annealing "
         f"(scripts/compare_encodings.py, {time.strftime('%Y-%m-%d')}).",
         "",
-        "| step | fourier PSNR | fourier SSIM | hash PSNR | hash SSIM |",
-        "|---|---|---|---|---|",
+        header,
+        "|---|" + "---|---|" * len(enc_keys),
     ]
-    fc, fw = results.get("fourier", ([], 1.0))
-    hash_keys = [k for k in results if k.startswith("hash")]
-    hc, hw = results.get(hash_keys[0], ([], 1.0)) if hash_keys else ([], 1.0)
-    by_step = {s: (p, m) for s, p, m in hc}
-    for s, fp, fs in fc:
-        hp, hs = by_step.get(s, (float("nan"), float("nan")))
-        lines.append(f"| {s} | {fp:.2f} | {fs:.4f} | {hp:.2f} | {hs:.4f} |")
-    for s, hp, hs in hc:
-        if s not in {x[0] for x in fc}:
-            lines.append(f"| {s} | — | — | {hp:.2f} | {hs:.4f} |")
-    if fc:
-        lines += ["", f"fourier wall-clock: {fw:.0f}s for {fc[-1][0]} steps "
-                      f"({fc[-1][0] / fw:.1f} steps/s)."]
-    if hc:
-        lines += [f"hash wall-clock: {hw:.0f}s for {hc[-1][0]} steps "
-                  f"({hc[-1][0] / hw:.1f} steps/s) via the scatter-free "
-                  "table gradient (ops/hashgrid.py)."]
+    by_enc = {k: {s: (p, m) for s, p, m in c} for k, (c, _) in results.items()}
+    all_steps = sorted({s for d in by_enc.values() for s in d})
+    for s in all_steps:
+        row = f"| {s} |"
+        for k in enc_keys:
+            p, m = by_enc[k].get(s, (None, None))
+            row += (f" {p:.2f} | {m:.4f} |" if p is not None else " — | — |")
+        lines.append(row)
+    lines.append("")
+    for k in enc_keys:
+        curve, wall = results[k]
+        if not curve:
+            continue
+        note = (" via the scatter-free table gradient (ops/hashgrid.py)"
+                if k.startswith("hash") else "")
+        lines.append(f"{k} wall-clock: {wall:.0f}s for {curve[-1][0]} steps "
+                     f"({curve[-1][0] / wall:.1f} steps/s){note}.")
     with open(Path(__file__).resolve().parent.parent / "VALIDATION.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/longrun_joint")
     ap.add_argument("--port", type=int, default=7993)
     ap.add_argument("--timeout-s", type=int, default=4 * 3600)
+    ap.add_argument("--resume-only", action="store_true",
+                    help="skip the main run; resume from an existing workdir's"
+                         " checkpoints and update its report.json")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
@@ -122,51 +125,58 @@ def main():
     out_dir = workdir / "outputs"
     env = {"NeRAF_dataset": "SoundSpaces", "NeRAF_scene": scene.name}
 
-    report = {"geometry": "grid 128^3, resnet50, 4096 rays + 4096 bake cells,"
-                          " 2048 slices, 2x257x78, audio from step 2000",
-              "steps": args.steps}
+    if args.resume_only:
+        report = json.loads((workdir / "report.json").read_text())
+    else:
+        report = {"geometry": "grid 128^3, resnet50, 4096 rays + 4096 bake"
+                              " cells, 2048 slices, 2x257x78, audio from step"
+                              " 2000",
+                  "steps": args.steps}
 
-    # ---- main run (viewer poked from this process while it trains)
-    train_cmd = [sys.executable, "-m", "neraf_tpu.cli.train",
-                 "--data-root", str(workdir), "--max-iters", str(args.steps),
-                 "--output-dir", str(out_dir),
-                 "--viewer-port", str(args.port)]
-    t0 = time.time()
-    proc = subprocess.Popen(train_cmd, env={**os.environ, **env},
-                            stdout=open(log_path, "ab"),
-                            stderr=subprocess.STDOUT, cwd=str(REPO))
-    try:
-        report["viewer"] = poke_viewer(args.port, deadline_s=3000)
-        rc = proc.wait(timeout=args.timeout_s)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-    report["train_rc"] = rc
-    report["train_wall_s"] = round(time.time() - t0, 1)
-    if rc != 0:
-        print(json.dumps(report, indent=1))
-        sys.exit(1)
+        # ---- main run (viewer poked from this process while it trains)
+        train_cmd = [sys.executable, "-m", "neraf_tpu.cli.train",
+                     "--data-root", str(workdir),
+                     "--max-iters", str(args.steps),
+                     "--output-dir", str(out_dir),
+                     "--viewer-port", str(args.port)]
+        t0 = time.time()
+        proc = subprocess.Popen(train_cmd, env={**os.environ, **env},
+                                stdout=open(log_path, "ab"),
+                                stderr=subprocess.STDOUT, cwd=str(REPO))
+        try:
+            report["viewer"] = poke_viewer(args.port, deadline_s=3000)
+            rc = proc.wait(timeout=args.timeout_s)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        report["train_rc"] = rc
+        report["train_wall_s"] = round(time.time() - t0, 1)
+        if rc != 0:
+            print(json.dumps(report, indent=1))
+            sys.exit(1)
 
-    run_dir = sorted((out_dir / f"{scene.name}_NeRAF" / "NeRAF").iterdir())[-1]
+    run_dir = sorted((out_dir / f"{scene.name}_NeRAF" / "NeRAF").iterdir())[0]
     report["throughput"] = parse_metrics(run_dir)
     ckpts = sorted((run_dir / "neraf_models").glob("step-*"))
     report["checkpoints"] = [p.name for p in ckpts]
 
-    # ---- eval from the saved config (loads the latest = 20k checkpoint)
-    rc_eval = _run_cli([sys.executable, "-m", "neraf_tpu.cli.evaluate",
-                        "--load-config", str(run_dir / "config.yml"),
-                        "--output-path", str(workdir / "eval_20k.json")],
-                       env, log_path, 3600).returncode
-    report["eval_rc"] = rc_eval
-    if rc_eval == 0:
-        report["eval_20k"] = json.loads(
-            (workdir / "eval_20k.json").read_text())["results"]
+    if not args.resume_only:
+        # ---- eval from the saved config (loads the latest = 20k checkpoint)
+        rc_eval = _run_cli([sys.executable, "-m", "neraf_tpu.cli.evaluate",
+                            "--load-config", str(run_dir / "config.yml"),
+                            "--output-path", str(workdir / "eval_20k.json")],
+                           env, log_path, 3600).returncode
+        report["eval_rc"] = rc_eval
+        if rc_eval == 0:
+            report["eval_20k"] = json.loads(
+                (workdir / "eval_20k.json").read_text())["results"]
 
     # ---- resume from the 20k checkpoint, run a bit further
-    rc2 = _run_cli(train_cmd[:6] + ["--max-iters",
-                                    str(args.steps + args.resume_extra),
-                                    "--output-dir", str(out_dir),
-                                    "--load-dir", str(run_dir / "neraf_models")],
+    rc2 = _run_cli([sys.executable, "-m", "neraf_tpu.cli.train",
+                    "--data-root", str(workdir),
+                    "--max-iters", str(args.steps + args.resume_extra),
+                    "--output-dir", str(out_dir),
+                    "--load-dir", str(run_dir / "neraf_models")],
                    env, log_path, 3600).returncode
     report["resume_rc"] = rc2
     if rc2 == 0:
