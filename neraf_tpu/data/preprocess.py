@@ -7,9 +7,11 @@ Spectrogram(n_fft=512, hop=128, power=None) -> abs -> save per
 n_fft/2 zeros and extended to >= 4410 samples before the STFT, matching the
 notebook.
 
-The vision counterpart (generate_vision.ipynb) renders RGB frames with
-Habitat-Sim, which is not available in this environment; `generate_vision`
-documents the required transforms.json contract and raises with instructions.
+The vision counterpart (generate_vision.ipynb) is `generate_vision` below:
+pose loading, Habitat-pose -> nerfstudio camera conversion, intrinsics, and
+the transforms.json layout are fully implemented; only the raster renderer
+is pluggable (`render_fn`), defaulting to a Habitat-Sim gate since the
+simulator and Replica assets are not available in this environment.
 
 Usage:
     python -m neraf_tpu.data.preprocess --scene-dir data/SoundSpaces/office_4 \
@@ -19,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 from pathlib import Path
 
 import numpy as np
@@ -93,14 +96,141 @@ def process_scene(scene_dir: Path, in_dir: str = "binaural_rirs",
     return count
 
 
-def generate_vision(*args, **kwargs):
+# Habitat right-up-back camera coords -> left-up-back world coords: the
+# axis transform the reference applies to every camera-to-world matrix
+# (generate_vision.ipynb cell 15).
+_HABITAT_TO_NERFSTUDIO = np.array([[-1.0, 0.0, 0.0, 0.0],
+                                   [0.0, 0.0, 1.0, 0.0],
+                                   [0.0, 1.0, 0.0, 0.0],
+                                   [0.0, 0.0, 0.0, 1.0]])
+
+
+def habitat_camera_intrinsics(width: int, height: int, hfov_deg: float):
+    """Focal lengths in pixels, via the reference's formulas.
+
+    Faithful quirk (generate_vision.ipynb cell 6): the reference computes
+    ``fx = 1/tan(hfov/2)`` then ``fx_px = width / (2 * fx)`` — i.e.
+    ``width * tan(hfov/2) / 2``, the RECIPROCAL of the standard pinhole
+    ``width / (2 * tan(hfov/2))``. At the shipped hfov of 90 deg both give
+    the same value (tan = 1, fx_px = 256 for 512 px), so the shipped scenes
+    are unaffected; we reproduce the reference arithmetic exactly so any
+    other hfov matches reference-generated data, not the textbook.
+    """
+    aspect = width / height
+    fx = 1.0 / np.tan(np.deg2rad(hfov_deg) / 2.0)
+    fy = fx * aspect
+    return width / (2.0 * fx), height / (2.0 * fy)
+
+
+def habitat_pose_to_c2w(position, quat_xyzw) -> np.ndarray:
+    """Habitat agent pose (pos + xyzw quaternion) -> nerfstudio c2w.
+
+    Matches generate_vision.ipynb cell 15: scipy ``R.from_quat`` (xyzw
+    order, same coeff order as habitat's ``quat_from_coeffs``), then the
+    right-up-back -> left-up-back axis transform. Faithful quirk: the
+    translation is the AGENT position from the pose pkl — the 1.5 m
+    sensor-height offset the simulator applies when rendering
+    (SimParams ``sensor_height``) is NOT added to the recorded transform,
+    exactly as in the reference notebook.
+    """
+    from scipy.spatial.transform import Rotation
+
+    m = np.eye(4)
+    m[:3, :3] = Rotation.from_quat(np.asarray(quat_xyzw, float)).as_matrix()
+    m[:3, 3] = np.asarray(position, float)
+    return _HABITAT_TO_NERFSTUDIO @ m
+
+
+def _habitat_render_fn(settings: dict):
+    """Default renderer: a Habitat-Sim session (gated on habitat_sim)."""
+    try:
+        import habitat_sim  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "generate_vision's default renderer needs Habitat-Sim, which is "
+            "not installed in this environment. Either install habitat-sim "
+            "and the Replica scene assets (paths in the scene's "
+            "*_SimParams.json), or pass render_fn=... producing an RGB "
+            "uint8 (H, W, 3) array for an agent (position, quat_xyzw) — "
+            "the pose conversion, intrinsics and transforms.json layout "
+            "are all handled here either way.") from e
     raise NotImplementedError(
-        "Vision-frame generation requires Habitat-Sim (render 512x512 RGB at "
-        "the train/eval agent poses with the camera 1.5 m above the agent, "
-        "convert Habitat quaternions to a nerfstudio transforms.json with the "
-        "right-up-back -> left-up-back axis transform). Run the upstream "
-        "generate_vision.ipynb flow in a Habitat environment and point "
-        "vision_data.data_dir at the resulting transforms.json.")
+        "habitat_sim present but the session driver is not implemented in "
+        "this build; pass render_fn=... (see generate_vision docstring).")
+
+
+def generate_vision(scene_dir, render_fn=None, image_dir: str = "images",
+                    width: int | None = None, height: int | None = None,
+                    limit_per_split: int | None = None,
+                    image_ext: str = "jpg") -> Path:
+    """Rebuild of data/SoundSpaces/generate_vision.ipynb: render RGB frames
+    at the scene's Train/Eval agent poses and write a nerfstudio-style
+    transforms.json.
+
+    The reference notebook drives Habitat-Sim (512x512, hfov 90, sensor
+    1.5 m above the agent) over the ``{scene}_{Train,Eval}.pkl`` pose dicts
+    and converts each Habitat pose to a camera-to-world matrix
+    (generate_vision.ipynb cells 5-16). Everything except the raster render
+    itself is reimplemented here; the renderer is pluggable via
+    ``render_fn(position, quat_xyzw, settings) -> uint8 (H, W, 3)`` so the
+    pipeline runs end to end with any renderer (tests use a synthetic one;
+    a Habitat environment can wrap the simulator in a few lines).
+
+    Layout notes vs the notebook: frames are written as
+    ``{image_dir}/{split}_frame_{i:05d}.{ext}`` with one counter spanning
+    train-then-eval (reference naming), but file_path entries are RELATIVE
+    to transforms.json (the notebook prefixes them with the scene dir name,
+    which only resolves from its parent directory; the relative form loads
+    from both nerfstudio and neraf_tpu parsers). The train/eval split is
+    recovered downstream by filename ("train" substring), the reference's
+    split mode.
+
+    Returns the path of the written transforms.json.
+    """
+    import pickle
+
+    from PIL import Image
+
+    scene_dir = Path(scene_dir)
+    scene = scene_dir.name
+    settings = json.loads((scene_dir / f"{scene}_SimParams.json").read_text())
+    if width is not None:
+        settings["width"] = width
+    if height is not None:
+        settings["height"] = height
+    w, h = int(settings["width"]), int(settings["height"])
+    fl_x, fl_y = habitat_camera_intrinsics(w, h, float(settings["hfov"]))
+    if render_fn is None:
+        render_fn = _habitat_render_fn(settings)
+
+    imdir = scene_dir / image_dir
+    imdir.mkdir(parents=True, exist_ok=True)
+    transforms = {"camera_model": "OPENCV",
+                  "orientation_override": "none",
+                  "frames": []}
+    i = 1  # single counter across both splits, starting at 1 (reference)
+    for split, pkl_name in (("train", f"{scene}_Train.pkl"),
+                            ("eval", f"{scene}_Eval.pkl")):
+        poses = pickle.loads((scene_dir / pkl_name).read_bytes())
+        for n_done, (pt_idx, data) in enumerate(poses.items()):
+            if limit_per_split is not None and n_done >= limit_per_split:
+                break
+            c2w = habitat_pose_to_c2w(data["Position"], data["Quaternion"])
+            img = np.asarray(render_fn(np.asarray(data["Position"], float),
+                                       np.asarray(data["Quaternion"], float),
+                                       settings))
+            name = f"{split}_frame_{i:05d}.{image_ext}"
+            Image.fromarray(img[..., :3]).save(imdir / name)
+            transforms["frames"].append({
+                "fl_x": fl_x, "fl_y": fl_y,
+                "cx": w / 2, "cy": h / 2, "w": w, "h": h,
+                "file_path": f"{image_dir}/{name}",
+                "transform_matrix": c2w.tolist(),
+            })
+            i += 1
+    out_path = scene_dir / "transforms.json"
+    out_path.write_text(json.dumps(transforms, indent=2))
+    return out_path
 
 
 def main(argv=None):

@@ -110,14 +110,32 @@ def init_hash_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jn
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+# Sort-length cap for the sort-based table gradients: 2M rows compiles in
+# ~60 s on the remote TPU compiler, while the full 12.6M-row training load
+# never finished compiling (>10 min) — see gather_rows docstring.
+_BWD_SORT_CHUNK = 2 ** 21
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def gather_rows(table2d: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
-                grad_mode: str) -> jnp.ndarray:
-    """table2d[(n_rows, F)][idx (M,)] -> (M, F), with a chosen VJP strategy."""
+                grad_mode: str, bwd_chunk: int | None = None) -> jnp.ndarray:
+    """table2d[(n_rows, F)][idx (M,)] -> (M, F), with a chosen VJP strategy.
+
+    bwd_chunk (static): cap on contributions per sort in the sort-based
+    backwards. The remote TPU compiler's sort lowering scales superlinearly
+    with array length (measured: 61 s compile at 2.1M rows, >10 min — never
+    observed finishing — at 12.6M, the real 4096-ray x 48-sample training
+    load). With bwd_chunk set, the backward runs ceil(M/bwd_chunk)
+    sort+segment-sum chunks inside ONE lax.scan (body compiled once at the
+    chunk shape) and accumulates DENSE per-chunk gradients — a plain add,
+    no combiner scatter, exact because partial segment sums add. A vmapped
+    per-level batching was tried first and compiles even worse than flat
+    (batched sort/scatter lowering; same probe timed out at 2.1M).
+    """
     return table2d[idx]
 
 
-def _gather_rows_fwd(table2d, idx, n_rows, grad_mode):
+def _gather_rows_fwd(table2d, idx, n_rows, grad_mode, bwd_chunk):
     return table2d[idx], idx
 
 
@@ -150,13 +168,9 @@ def _segment_totals_sorted(sidx: jnp.ndarray, sval: jnp.ndarray):
     return is_end, totals
 
 
-def _gather_rows_bwd(n_rows, grad_mode, idx, g):
-    mode = _resolve_grad_mode(grad_mode)
+def _sorted_segment_grad(idx, g, n_rows, mode):
+    """Dense (n_rows, F) gradient from contributions via one sort."""
     F = g.shape[-1]
-    if mode == "scatter":
-        grad = jnp.zeros((n_rows, F), g.dtype).at[idx].add(g)
-        return grad, None
-
     order = jnp.argsort(idx)
     sidx = idx[order]
     sval = g[order]
@@ -164,17 +178,43 @@ def _gather_rows_bwd(n_rows, grad_mode, idx, g):
         is_end, totals = _segment_totals_sorted(sidx, sval)
         # unique-index overwrite placement; non-ends dropped via row n_rows
         put_at = jnp.where(is_end, sidx, n_rows)
-        grad = jnp.zeros((n_rows, F), g.dtype).at[put_at].set(
+        return jnp.zeros((n_rows, F), g.dtype).at[put_at].set(
             totals, mode="drop")
-        return grad, None
     if mode == "gather":
         csum = jnp.concatenate(
             [jnp.zeros_like(sval[:1]), jnp.cumsum(sval, axis=0)], axis=0)
         bounds = jnp.searchsorted(
             sidx, jnp.arange(n_rows + 1, dtype=sidx.dtype), side="left")
-        grad = csum[bounds[1:]] - csum[bounds[:-1]]
-        return grad.astype(g.dtype), None
-    raise ValueError(f"unknown grad_mode {grad_mode!r}")
+        return (csum[bounds[1:]] - csum[bounds[:-1]]).astype(g.dtype)
+    raise ValueError(f"unknown grad_mode {mode!r}")
+
+
+def _gather_rows_bwd(n_rows, grad_mode, bwd_chunk, idx, g):
+    mode = _resolve_grad_mode(grad_mode)
+    F = g.shape[-1]
+    M = idx.shape[0]
+    if mode == "scatter":
+        grad = jnp.zeros((n_rows, F), g.dtype).at[idx].add(g)
+        return grad, None
+    if bwd_chunk is None or M <= bwd_chunk:
+        return _sorted_segment_grad(idx, g, n_rows, mode), None
+
+    # chunked: pad with sentinel row n_rows (zero cotangent, dropped by both
+    # strategies), then scan sort-sized chunks, accumulating dense partials
+    n_chunks = -(-M // bwd_chunk)
+    pad = n_chunks * bwd_chunk - M
+    idx_p = jnp.concatenate(
+        [idx, jnp.full((pad,), n_rows, idx.dtype)]).reshape(n_chunks, -1)
+    g_p = jnp.concatenate(
+        [g, jnp.zeros((pad, F), g.dtype)]).reshape(n_chunks, -1, F)
+
+    def body(acc, chunk):
+        ci, cg = chunk
+        return acc + _sorted_segment_grad(ci, cg, n_rows, mode), None
+
+    grad, _ = jax.lax.scan(body, jnp.zeros((n_rows, F), g.dtype),
+                           (idx_p, g_p))
+    return grad, None
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -240,7 +280,8 @@ def hash_encoding(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp
     level_offset = (jnp.arange(spec.num_levels, dtype=jnp.int32) * spec.table_size)
     flat_idx = (idx + level_offset[:, None, None]).reshape(-1)  # (L*B*8,)
     feats = gather_rows(table.reshape(-1, spec.features_per_level), flat_idx,
-                        spec.num_levels * spec.table_size, spec.grad_mode)
+                        spec.num_levels * spec.table_size, spec.grad_mode,
+                        _BWD_SORT_CHUNK)
     feats = feats.reshape(spec.num_levels, B, 8, spec.features_per_level)
 
     out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # (L, B, F)

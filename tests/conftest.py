@@ -13,7 +13,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices time-share ONE core here; XLA CPU kills the process if a
+# collective's participants don't all arrive within 40 s (rendezvous.cc
+# "Termination timeout"), which a heavy per-device kernel or a loaded host
+# easily exceeds — observed as flaky SIGABRTs in the mesh train-step and
+# hermetic dryrun tests. Raise the terminate timeout; keep warn_stuck low so
+# genuinely wedged collectives still log.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -126,6 +126,35 @@ def test_gather_rows_vjp_strategies_match_autodiff(rng):
                                    rtol=1e-5, atol=1e-5, err_msg=f"jit:{mode}")
 
 
+def test_gather_rows_chunked_backward_matches_flat(rng):
+    """bwd_chunk caps the sort length: the backward scans sort-sized chunks
+    and accumulates dense partial gradients (the compile-tractable form for
+    the 12.6M-row training load). Must equal the flat single-sort form and
+    autodiff — including a non-divisible M (sentinel-padded final chunk)
+    and rows split across chunk boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from neraf_tpu.ops.hashgrid import gather_rows
+
+    n_rows, M, F, chunk = 64, 1000, 2, 256  # 1000 = 3 full chunks + 232 pad
+    idx = jnp.asarray(rng.integers(0, n_rows, M), jnp.int32)
+    table = jnp.asarray(rng.standard_normal((n_rows, F)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((M, F)), jnp.float32)
+
+    ref = jax.grad(lambda tbl: jnp.sum(tbl[idx] * ct))(table)
+    for mode in ("scatter_set", "gather"):
+        flat = jax.grad(lambda tbl: jnp.sum(
+            gather_rows(tbl, idx, n_rows, mode) * ct))(table)
+        chunked = jax.grad(lambda tbl: jnp.sum(
+            gather_rows(tbl, idx, n_rows, mode, chunk) * ct))(table)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=mode)
+        # vs the flat form: same totals, different fp32 accumulation order
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(flat),
+                                   rtol=1e-5, atol=1e-5, err_msg=mode)
+
+
 def test_hash_encoding_grads_identical_across_grad_modes(rng):
     """Full encoding: table AND position gradients must be identical whatever
     backward strategy the table gather uses (positions differentiate through

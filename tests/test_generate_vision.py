@@ -1,0 +1,116 @@
+"""generate_vision: the rebuilt data/SoundSpaces/generate_vision.ipynb flow.
+
+Drives the full pipeline — real office_4 pose pkls + SimParams from the
+reference data, a synthetic render_fn in place of Habitat-Sim — and
+round-trips the written transforms.json through neraf_tpu's own vision
+parser. Pose math is pinned against closed-form cases of the notebook's
+conversion (cells 6 and 15).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from neraf_tpu.data.preprocess import (generate_vision,
+                                       habitat_camera_intrinsics,
+                                       habitat_pose_to_c2w)
+
+REF = Path("/root/reference/data/SoundSpaces/office_4")
+needs_ref = pytest.mark.skipif(not REF.exists(),
+                               reason="reference data not available")
+
+
+def test_intrinsics_match_simparams_at_hfov_90():
+    # office_4_SimParams.json records fx px = fy px = 256.0 for 512^2 hfov 90
+    fl_x, fl_y = habitat_camera_intrinsics(512, 512, 90.0)
+    assert fl_x == pytest.approx(256.0)
+    assert fl_y == pytest.approx(256.0)
+
+
+def test_intrinsics_reproduce_reference_quirk_off_90():
+    # the notebook computes fx_px = w / (2 * (1/tan(hfov/2))) =
+    # w*tan(hfov/2)/2 — the reciprocal of the textbook pinhole formula.
+    # At hfov 60: tan(30 deg) = 0.5774 -> 512*0.5774/2 = 147.8 (textbook
+    # would give 443.4). We match the reference arithmetic.
+    fl_x, _ = habitat_camera_intrinsics(512, 512, 60.0)
+    assert fl_x == pytest.approx(512 * np.tan(np.deg2rad(30)) / 2)
+
+
+def test_identity_pose_is_pure_axis_permutation():
+    c2w = habitat_pose_to_c2w([0, 0, 0], [0, 0, 0, 1])  # identity quat
+    expect = np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0],
+                       [0, 0, 0, 1]], float)
+    np.testing.assert_allclose(c2w, expect, atol=1e-12)
+
+
+def test_yaw_quaternion_round_trip():
+    # a pure-yaw habitat quat (xyzw, y axis): the transformed rotation must
+    # stay orthonormal with det +1, and translation must pass through the
+    # axis permutation (x -> -x, y <-> z), untouched by sensor height
+    # (faithful quirk: the notebook records the agent pose, not +1.5 m)
+    ang = np.deg2rad(147.17656258281133)
+    quat = [0.0, np.sin(ang / 2), 0.0, np.cos(ang / 2)]
+    pos = [2.795349478721622, -1.209289312362671, -3.429439544677737]
+    c2w = habitat_pose_to_c2w(pos, quat)
+    R3 = c2w[:3, :3]
+    np.testing.assert_allclose(R3 @ R3.T, np.eye(3), atol=1e-12)
+    assert np.linalg.det(R3) == pytest.approx(1.0)
+    np.testing.assert_allclose(c2w[:3, 3], [-pos[0], pos[2], pos[1]],
+                               atol=1e-12)
+
+
+def _fake_render(position, quat, settings):
+    h, w = int(settings["height"]), int(settings["width"])
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = int(abs(position[0]) * 10) % 256
+    img[..., 1] = int(abs(quat[3]) * 200) % 256
+    return img
+
+
+@needs_ref
+def test_full_flow_on_real_office4_poses(tmp_path):
+    scene_dir = tmp_path / "office_4"
+    scene_dir.mkdir()
+    for f in ("office_4_Train.pkl", "office_4_Eval.pkl",
+              "office_4_SimParams.json"):
+        shutil.copy(REF / f, scene_dir / f)
+
+    out = generate_vision(scene_dir, render_fn=_fake_render,
+                          width=16, height=16, limit_per_split=6)
+    assert out == scene_dir / "transforms.json"
+    t = json.loads(out.read_text())
+    assert t["camera_model"] == "OPENCV"
+    assert len(t["frames"]) == 12
+    names = [f["file_path"] for f in t["frames"]]
+    # reference naming: one counter spanning train then eval, from 1
+    assert names[0] == "images/train_frame_00001.jpg"
+    assert names[6] == "images/eval_frame_00007.jpg"
+    for f in t["frames"]:
+        assert (scene_dir / f["file_path"]).exists()
+        m = np.asarray(f["transform_matrix"])
+        assert m.shape == (4, 4)
+        R3 = m[:3, :3]
+        np.testing.assert_allclose(R3 @ R3.T, np.eye(3), atol=1e-9)
+
+    # round-trip through the framework's own parser: filename split mode
+    from neraf_tpu.data.vision_data import load_transforms
+
+    train = load_transforms(scene_dir, split="train", eval_mode="filename")
+    evl = load_transforms(scene_dir, split="eval", eval_mode="filename")
+    assert train.images.shape[0] == 6 and evl.images.shape[0] == 6
+    # 16 px at hfov 90 -> fl = 8 px (the SimParams' 256 is the 512 px case)
+    np.testing.assert_allclose(np.asarray(train.cameras.fx), 8.0)
+
+
+def test_missing_habitat_raises_with_instructions(tmp_path):
+    scene_dir = tmp_path / "office_4"
+    scene_dir.mkdir()
+    (scene_dir / "office_4_SimParams.json").write_text(
+        json.dumps({"width": 8, "height": 8, "hfov": 90}))
+    with pytest.raises(NotImplementedError, match="render_fn"):
+        generate_vision(scene_dir)
