@@ -85,12 +85,19 @@ class VisionModelConfig:
 
     Two position-encoding backends:
     - "fourier" (default): sinusoidal PE + a deep base MLP (mip-NeRF-360
-      style). Zero gathers — everything lands on the MXU, far faster than
-      gather-based encodings on the target TPU backend.
+      style). Zero gathers — everything lands on the MXU, ~10x more steps/s
+      than the gather-bound hash path on the target TPU backend; the
+      default because the reference's 400k-step budget is throughput-bound.
     - "hash": instant-NGP multires hash grid + shallow MLP (the reference's
-      tcnn substrate). Gather-bound; the TPU-tuned default layout is L8xF4
-      (same 32-dim output and table bytes as tcnn's L16xF2 but half the
-      gather rows — the measured cost driver, docs/HASH_PERF.md). Set
+      tcnn substrate). Trains on TPU via the sort-based table gradients
+      (hash_grad_mode; docs/HASH_PERF.md round-3 note) and converges much
+      faster per step — on the occluded multi-object benchmark it passes
+      fourier's 8000-step quality within ~300 steps and plateaus higher
+      (24.0 vs 22.7 PSNR, VALIDATION.md) — so it is the QUALITY choice
+      when wall-clock is dominated by convergence rather than a fixed step
+      budget. Gather-bound; the TPU-tuned default layout is L8xF4 (same
+      32-dim output and table bytes as tcnn's L16xF2 but half the gather
+      rows — the measured cost driver, docs/HASH_PERF.md). Set
       num_levels=16, features_per_level=2 for strict tcnn-parity layout.
       With "hash", proposal fields stay on fourier by default
       (proposal_encoding) — proposal stages evaluate ~7x more points than

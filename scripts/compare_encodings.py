@@ -191,10 +191,13 @@ def train_one(encoding: str, steps: int, eval_every: int, seed: int = 0,
 
     @jax.jit
     def run_chunk(params, opt_state, step0, key):
-        """lax.scan over dispatch_chunk steps in ONE dispatch (per-step
-        dispatch costs a tunnel round trip on this backend; hash uses
-        shorter chunks — its scatter-add backward crashes the TPU worker
-        inside long scans, see docs/HASH_PERF.md backend-bug note)."""
+        """dispatch_chunk steps in ONE dispatch via lax.scan (per-step
+        dispatch costs a tunnel round trip on this backend). Hash runs
+        dispatch_chunk=1 WITHOUT the scan wrapper: the remote compiler's
+        lowering of scan bodies carrying the 12.6M-row fused gather and its
+        sort-chunked backward never finishes compiling (>40 min observed;
+        the identical un-scanned graph compiles in ~4 min,
+        docs/HASH_PERF.md round-3 note)."""
 
         def body(carry, i):
             params, opt_state, key = carry
@@ -217,6 +220,10 @@ def train_one(encoding: str, steps: int, eval_every: int, seed: int = 0,
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state, key), loss
 
+        if dispatch_chunk == 1:
+            (params, opt_state, key), loss = body((params, opt_state, key),
+                                                  jnp.int32(0))
+            return params, opt_state, key, loss
         (params, opt_state, key), losses = jax.lax.scan(
             body, (params, opt_state, key), jnp.arange(dispatch_chunk))
         return params, opt_state, key, losses[-1]
@@ -285,7 +292,7 @@ def main():
         print(f"training encoding={enc} for {steps} steps", flush=True)
         results[enc] = train_one(
             enc, steps, eval_every,
-            dispatch_chunk=50 if is_hash else None)
+            dispatch_chunk=1 if is_hash else None)
 
     enc_keys = list(results)
     header = "| step |" + "".join(
