@@ -41,6 +41,13 @@ def parse_args(argv=None):
                         "host-streamed batches (on), or size-based (auto; "
                         "see docs/DATA.md per-scene table)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="override any config field by dotted path (the "
+                        "tyro-flag equivalent of ns-train's per-field "
+                        "flags), e.g. --set vision_model.encoding=hash "
+                        "--set trainer.start_step_audio=0; YAML-parsed "
+                        "values; repeatable")
     return p.parse_args(argv)
 
 
@@ -57,6 +64,12 @@ def main(argv=None):
         cfg.audio_model.use_grid = False
     if args.streaming is not None:
         cfg.audio_data.streaming = args.streaming
+    if args.overrides:
+        # applied LAST so explicit --set values are final (default_config
+        # already ran the per-dataset resolve derivations)
+        from neraf_tpu.configs.config import apply_overrides
+
+        apply_overrides(cfg, args.overrides)
 
     mesh = None
     if args.num_devices is not None and args.num_devices > 1:

@@ -314,6 +314,52 @@ _NESTED = {
 }
 
 
+def apply_overrides(cfg: ExperimentConfig,
+                    overrides: list[str]) -> ExperimentConfig:
+    """Apply dotted-path ``key=value`` overrides in place (returns cfg).
+
+    The tyro-flag-surface equivalent: nerfstudio's CLI exposes every config
+    dataclass field as a flag; here ``neraf-train --set
+    vision_model.encoding=hash --set trainer.max_iters=1000`` reaches any
+    field of the tree. Values are parsed as YAML scalars (so ``true``,
+    ``1e-3``, ``[16, 12]`` and quoted strings all work) and lists coerce to
+    tuples to match dataclass defaults. Unknown paths raise with the valid
+    field names.
+    """
+    for item in overrides:
+        path, sep, raw = item.partition("=")
+        if not sep:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        parts = path.strip().split(".")
+        obj = cfg
+        for i, name in enumerate(parts[:-1]):
+            if not (dataclasses.is_dataclass(obj) and
+                    any(f.name == name for f in dataclasses.fields(obj))):
+                valid = [f.name for f in dataclasses.fields(obj)]
+                raise ValueError(
+                    f"override path {'.'.join(parts[:i + 1])!r} not found; "
+                    f"valid fields here: {valid}")
+            obj = getattr(obj, name)
+        leaf = parts[-1]
+        if not (dataclasses.is_dataclass(obj) and
+                any(f.name == leaf for f in dataclasses.fields(obj))):
+            valid = [f.name for f in dataclasses.fields(obj)] \
+                if dataclasses.is_dataclass(obj) else []
+            raise ValueError(
+                f"override field {path!r} not found; valid fields: {valid}")
+        value = yaml.safe_load(raw)
+        if isinstance(value, list):
+            value = tuple(value)
+        current = getattr(obj, leaf)
+        if isinstance(value, str) and isinstance(current, (int, float)) \
+                and not isinstance(current, bool):
+            # YAML 1.1 reads "1e-3" (no dot) as a string; coerce numerics
+            # toward the field's current type
+            value = type(current)(float(value))
+        setattr(obj, leaf, value)
+    return cfg
+
+
 def save_config(cfg: ExperimentConfig, path: str | Path) -> None:
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as f:

@@ -62,3 +62,46 @@ def test_yaml_roundtrip(tmp_path):
     assert loaded == cfg
     assert isinstance(loaded.vision_model.num_proposal_samples, tuple)
     assert loaded.optimizers.audio_fields.lr == 3e-4
+
+
+def test_apply_overrides_dotted_paths():
+    """--set key=value overrides: the tyro-flag-surface equivalent of
+    nerfstudio exposing every dataclass field as a CLI flag."""
+    import pytest
+
+    from neraf_tpu.configs.config import apply_overrides, default_config
+
+    cfg = default_config("SoundSpaces", "office_4", data_root="/x")
+    apply_overrides(cfg, [
+        "vision_model.encoding=hash",
+        "vision_model.num_levels=4",
+        "vision_model.features_per_level=8",
+        "trainer.start_step_audio=0",
+        "audio_model.use_grid=false",
+        "optimizers.fields.lr=1e-3",
+        "vision_model.num_proposal_samples=[32, 16]",
+    ])
+    assert cfg.vision_model.encoding == "hash"
+    assert cfg.vision_model.num_levels == 4
+    assert cfg.vision_model.features_per_level == 8
+    assert cfg.trainer.start_step_audio == 0
+    assert cfg.audio_model.use_grid is False
+    assert cfg.optimizers.fields.lr == pytest.approx(1e-3)
+    assert cfg.vision_model.num_proposal_samples == (32, 16)
+
+    with pytest.raises(ValueError, match="valid fields"):
+        apply_overrides(cfg, ["vision_model.nope=1"])
+    with pytest.raises(ValueError, match="valid fields"):
+        apply_overrides(cfg, ["nonexistent.thing=1"])
+    with pytest.raises(ValueError, match="key=value"):
+        apply_overrides(cfg, ["just-a-string"])
+
+
+def test_cli_set_flag_parses():
+    from neraf_tpu.cli.train import parse_args
+
+    args = parse_args(["--data-root", "/x",
+                       "--set", "vision_model.encoding=hash",
+                       "--set", "trainer.max_iters=10"])
+    assert args.overrides == ["vision_model.encoding=hash",
+                              "trainer.max_iters=10"]
