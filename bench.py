@@ -22,6 +22,7 @@ a `block_until_ready` that can return before execution completes).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -280,17 +281,38 @@ def main():
     pipe = _build_pipeline(grid_res=128, tiny=False)
     state = pipe.init_state(seed=0)
 
-    rirs_per_sec, rir_flops_64 = bench_audio(pipe, state, want_flops=True)
+    # Each stage individually guarded: a transient backend fault (the axon
+    # tunnel dropped mid-round on 2026-08-17) must not zero the whole
+    # round's record — failed stages report -1 and the error goes to stderr.
+    errors = {}
+
+    def stage(name, fn, default=-1.0):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"bench stage {name} failed: {errors[name]}",
+                  file=sys.stderr, flush=True)
+            return default
+
+    rirs_per_sec, rir_flops_64 = stage(
+        "audio", lambda: bench_audio(pipe, state, want_flops=True),
+        default=(-1.0, None))
     # sustained throughput at production sweep size (512 RIRs = 1024 GL
     # channels -> the fused Pallas GL kernel engages, dsp/griffin_lim.py)
-    rirs_per_sec_b512 = bench_audio(pipe, state, n_rirs=512)
-    rays_per_sec = bench_vision(pipe, state)
+    rirs_per_sec_b512 = stage(
+        "audio_b512", lambda: bench_audio(pipe, state, n_rirs=512))
+    rays_per_sec = stage("vision", lambda: bench_vision(pipe, state))
     # train_step donates its input state; keep an undonated copy for the
     # streaming-path comparison run
     state_copy = jax.tree_util.tree_map(lambda x: x.copy(), state)
-    steps_per_sec, step_flops = bench_train_step(pipe, state)
-    steps_per_sec_streaming = bench_train_step_streaming(pipe, state_copy)
-    rirs_raf = bench_audio_raf()
+    steps_per_sec, step_flops = stage(
+        "train_step", lambda: bench_train_step(pipe, state),
+        default=(-1.0, None))
+    steps_per_sec_streaming = stage(
+        "train_step_streaming",
+        lambda: bench_train_step_streaming(pipe, state_copy))
+    rirs_raf = stage("audio_raf", bench_audio_raf)
 
     result = {
         "metric": "RIRs/sec/chip (STFT synth + Griffin-Lim); rays/sec volume render; T60 err parity",
@@ -319,6 +341,8 @@ def main():
         ex["flops_per_rir"] = round(rir_flops_64 / 64)
         ex["mfu_rir_render"] = round(
             (rir_flops_64 / 64) * rirs_per_sec / V5E_BF16_PEAK_FLOPS, 4)
+    if errors:
+        ex["failed_stages"] = errors
     print(json.dumps(result))
 
 
