@@ -335,7 +335,8 @@ def apply_overrides(cfg: ExperimentConfig,
         for i, name in enumerate(parts[:-1]):
             if not (dataclasses.is_dataclass(obj) and
                     any(f.name == name for f in dataclasses.fields(obj))):
-                valid = [f.name for f in dataclasses.fields(obj)]
+                valid = [f.name for f in dataclasses.fields(obj)] \
+                    if dataclasses.is_dataclass(obj) else []
                 raise ValueError(
                     f"override path {'.'.join(parts[:i + 1])!r} not found; "
                     f"valid fields here: {valid}")

@@ -105,3 +105,13 @@ def test_cli_set_flag_parses():
                        "--set", "trainer.max_iters=10"])
     assert args.overrides == ["vision_model.encoding=hash",
                               "trainer.max_iters=10"]
+
+
+def test_apply_overrides_path_through_scalar_errors_cleanly():
+    import pytest
+
+    from neraf_tpu.configs.config import apply_overrides, default_config
+
+    cfg = default_config("SoundSpaces", "office_4", data_root="/x")
+    with pytest.raises(ValueError, match="not found"):
+        apply_overrides(cfg, ["trainer.max_iters.x=1"])
