@@ -129,3 +129,29 @@ def test_emergency_checkpoint_on_crash(mini_run):
     ckpts = list((trainer.output_dir / "neraf_models").glob("step-*"))
     assert len(ckpts) >= 1  # emergency checkpoint at step 2
     assert any("step-000000002" in str(c) for c in ckpts)
+
+
+def test_train_cli_set_overrides_reach_saved_config(tmp_path, monkeypatch):
+    """--set overrides flow through neraf-train into the run's config.yml
+    (so neraf-eval --load-config reproduces the overridden experiment)."""
+    scene_root = tmp_path / "scenes"
+    make_soundspaces_scene(scene_root, max_frames=12)
+    monkeypatch.setenv("NeRAF_dataset", "SoundSpaces")
+    monkeypatch.setenv("NeRAF_scene", "mini_scene")
+
+    from neraf_tpu.cli.train import main as train_main
+
+    out_dir = tmp_path / "outputs"
+    train_main(["--data-root", str(scene_root), "--audio-only",
+                "--max-iters", "3", "--output-dir", str(out_dir),
+                "--set", "audio_model.w_field=32",
+                "--set", "audio_data.batch_size=16",
+                "--set", "audio_data.max_len=12",
+                "--set", "audio_model.max_len=12"])
+
+    from neraf_tpu.configs.config import load_config
+
+    run_dirs = sorted((out_dir / "mini_scene_NeRAF" / "NeRAF").iterdir())
+    cfg = load_config(run_dirs[-1] / "config.yml")
+    assert cfg.audio_model.w_field == 32
+    assert cfg.audio_data.batch_size == 16
