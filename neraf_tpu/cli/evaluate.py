@@ -34,6 +34,11 @@ def parse_args(argv=None):
                    help="checkpoint dir; default <config dir>/neraf_models")
     p.add_argument("--output-path", default=None)
     p.add_argument("--render-output-path", default=None)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="override loaded-config fields by dotted path, e.g. "
+                        "--set vision_model.eval_num_rays_per_chunk=8192; "
+                        "model-architecture fields must match the checkpoint")
     return p.parse_args(argv)
 
 
@@ -71,6 +76,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     cfg = load_config(args.load_config)
+    if args.overrides:
+        from neraf_tpu.configs.config import apply_overrides
+
+        apply_overrides(cfg, args.overrides)
     run_dir = Path(args.load_config).parent
 
     if not cfg.audio_model.use_grid:

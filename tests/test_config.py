@@ -115,3 +115,11 @@ def test_apply_overrides_path_through_scalar_errors_cleanly():
     cfg = default_config("SoundSpaces", "office_4", data_root="/x")
     with pytest.raises(ValueError, match="not found"):
         apply_overrides(cfg, ["trainer.max_iters.x=1"])
+
+
+def test_eval_cli_set_flag_parses():
+    from neraf_tpu.cli.evaluate import parse_args
+
+    args = parse_args(["--load-config", "/x/config.yml",
+                       "--set", "vision_model.eval_num_rays_per_chunk=8192"])
+    assert args.overrides == ["vision_model.eval_num_rays_per_chunk=8192"]
