@@ -33,9 +33,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-M_ROWS = 12_582_912  # 196,608 queries x 8 corners x 8 levels
-CHUNK = 2 ** 21
-N_ROWS = 8 * 2 ** 19
+# defaults = the real training load; overridable for CPU smoke tests
+M_ROWS = int(os.environ.get("ISOLATE_M_ROWS", 12_582_912))  # 196,608 q x 64
+CHUNK = int(os.environ.get("ISOLATE_CHUNK", 2 ** 21))
+N_ROWS = int(os.environ.get("ISOLATE_N_ROWS", 8 * 2 ** 19))  # power of two
 F = 4
 
 CASES = ["fwd_gather", "sort", "sort_payload", "cumsum", "searchsorted",

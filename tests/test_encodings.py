@@ -183,3 +183,24 @@ def test_hash_encoding_grads_identical_across_grad_modes(rng):
                                    rtol=5e-3, atol=5e-4, err_msg=f"table:{mode}")
         np.testing.assert_allclose(np.asarray(gx), np.asarray(ref_gx),
                                    rtol=5e-3, atol=5e-4, err_msg=f"pos:{mode}")
+
+
+def test_hash_fault_isolate_cases_smoke(monkeypatch):
+    """All isolation-canary cases run at tiny CPU sizes (import/shape
+    bitrot guard for scripts/hash_fault_isolate.py; full-size runs are
+    TPU-only diagnostics)."""
+    import importlib
+    import sys as _sys
+    from pathlib import Path
+
+    monkeypatch.setenv("ISOLATE_M_ROWS", "4096")
+    monkeypatch.setenv("ISOLATE_CHUNK", "512")
+    monkeypatch.setenv("ISOLATE_N_ROWS", "1024")
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        import hash_fault_isolate as hfi
+        hfi = importlib.reload(hfi)  # re-read env-sized constants
+        for case in hfi.CASES:
+            hfi.run_child(case, iters=2)
+    finally:
+        _sys.path.pop(0)
