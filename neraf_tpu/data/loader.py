@@ -65,7 +65,9 @@ def resolve_audio_batch(key: jax.Array, audio_in: dict, batch_size: int,
     rec = audio_in["audio_idx"]
     return {
         "audio_idx": rec,
-        "data": audio_in["data"],
+        # streamed data may arrive bf16 (StreamingAudioSampler
+        # transfer_dtype); losses/metrics expect fp32 — upcast in-jit
+        "data": audio_in["data"].astype(jnp.float32),
         "time_query": audio_in["time_query"],
         "mic_pose": audio_in["mic_pose"][rec],
         "source_pose": audio_in["source_pose"][rec],

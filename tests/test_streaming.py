@@ -202,3 +202,29 @@ def test_resolve_audio_batch_rejects_neither_structure():
     with pytest.raises(KeyError):
         resolve_audio_batch(jax.random.PRNGKey(0), {"bogus": jnp.zeros(3)},
                             4, 7)
+
+
+def test_bf16_transfer_dtype_halves_bytes_and_bounds_error(rng):
+    """transfer_dtype='bfloat16' streams half the bytes; values round-trip
+    within bf16 quantization and resolve_audio_batch upcasts to fp32."""
+    import ml_dtypes
+
+    ds = _make_dataset(rng)
+    with StreamingAudioSampler(ds, batch_size=8, seed=3,
+                               transfer_dtype="bfloat16") as sampler:
+        batch_in = sampler.next()
+        assert batch_in["data"].dtype == ml_dtypes.bfloat16
+        resolved = jax.jit(
+            lambda a: resolve_audio_batch(
+                jax.random.PRNGKey(0), a, 8, ds.max_len))(batch_in)
+        assert resolved["data"].dtype == jnp.float32
+        exact = ds.log_stft[np.asarray(batch_in["audio_idx"]), :, :,
+                            np.asarray(batch_in["time_query"])]
+        # bf16 has 8 significand bits -> <= 2^-8 relative error
+        np.testing.assert_allclose(np.asarray(resolved["data"]), exact,
+                                   rtol=2 ** -8, atol=2 ** -8)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        StreamingAudioSampler(ds, batch_size=8, transfer_dtype="float16")
