@@ -201,20 +201,58 @@ def bench_train_step(pipe, state, iters: int = 10) -> float:
     state = state._replace(step=jnp.int32(3000))  # audio branch active
     flops = _compiled_flops(pipe._train_step, state, cam_arrays,
                             audio_arrays, image_arrays)
+    # Timing doctrine: force a HOST READ of the final metric, same as
+    # _chain_time — `block_until_ready` can return before execution
+    # completes through the tunnel (see module docstring). The K
+    # back-to-back dispatches amortize the ~100 ms round trip; the final
+    # np.asarray read cannot complete before all K steps executed
+    # (in-order execution, each step consumes the previous state).
+    _read = lambda m: float(np.asarray(m["total_loss"]))
     state, met = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
-    jax.block_until_ready(met["total_loss"])
+    _read(met)  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
         state, met = pipe.train_step(state, cam_arrays, audio_arrays, image_arrays)
-    jax.block_until_ready(met["total_loss"])
+    _read(met)  # forced host read of the last result
     return iters / (time.perf_counter() - t0), flops
 
 
+def _memmap_store(n_rec: int, shape, path="/tmp/neraf_bench_store.npy",
+                  cold: bool = False) -> np.ndarray:
+    """A REAL disk-backed np.memmap store at office_4 scale (the reference
+    streams RIRs from disk, NeRAF_datamanager.py:84-133). cold=True evicts
+    the file's pages first (posix_fadvise DONTNEED) so gathers hit the disk;
+    warm leaves the page cache populated from creation/the previous run."""
+    import os
+
+    n_bytes = int(np.prod((n_rec, *shape))) * 4
+    if not (os.path.exists(path) and os.path.getsize(path) == n_bytes):
+        rng = np.random.default_rng(0)
+        block = rng.standard_normal((64, *shape)).astype(np.float32) * 0.5 - 3
+        mm = np.memmap(path, np.float32, "w+", shape=(n_rec, *shape))
+        for i in range(0, n_rec, 64):
+            mm[i:i + 64] = block[:min(64, n_rec - i)]
+        mm.flush()
+        del mm
+    if cold:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+    return np.memmap(path, np.float32, "r", shape=(n_rec, *shape))
+
+
 def bench_train_step_streaming(pipe, state, iters: int = 10,
-                               n_rec: int = 20_793) -> float:
+                               n_rec: int = 20_793,
+                               store: str = "ram") -> float:
     """Joint train step fed by the out-of-HBM streaming path at office_4
-    scale (20,793 recordings x 2x257x78 = 3.1 GiB host store; zeros-backed
-    so the bench costs MBs of RSS — gather + transfer cost is identical).
+    scale (20,793 recordings x 2x257x78 = 3.1 GiB host store). store:
+    "ram" = zeros-backed (gather + transfer cost identical, MBs of RSS);
+    "memmap_cold"/"memmap_warm" = a real disk-backed np.memmap with the
+    page cache evicted/populated (VERDICT r3 #3 — DATA.md's "host store
+    should be RAM-resident" warning needs a measured number).
     The done-bar from VERDICT r2 #1: within ~15% of the HBM path's steps/s."""
     import dataclasses
 
@@ -247,8 +285,13 @@ def bench_train_step_streaming(pipe, state, iters: int = 10,
         outputs: _Outputs
         max_len: int
 
+    if store == "ram":
+        log_stft = np.zeros((n_rec, 2, F, T), np.float32)  # lazily-backed
+    else:
+        log_stft = _memmap_store(n_rec, (2, F, T),
+                                 cold=store.endswith("cold"))
     ds = _HostDataset(
-        log_stft=np.zeros((n_rec, 2, F, T), np.float32),  # lazily-backed
+        log_stft=log_stft,
         outputs=_Outputs(
             microphone_poses=rng.uniform(-2, 2, (n_rec, 3)).astype(np.float32),
             source_poses=np.zeros((n_rec, 3), np.float32),
@@ -258,42 +301,115 @@ def bench_train_step_streaming(pipe, state, iters: int = 10,
     state = state._replace(step=jnp.int32(3000))
     sampler = StreamingAudioSampler(ds, pipe.config.audio_data.batch_size,
                                     seed=0, prefetch=3)
+    _read = lambda m: float(np.asarray(m["total_loss"]))  # timing doctrine
     try:
         state, met = pipe.train_step(state, cam_arrays, sampler.next(),
                                      image_arrays)
-        jax.block_until_ready(met["total_loss"])
+        _read(met)
         t0 = time.perf_counter()
         for _ in range(iters):
             state, met = pipe.train_step(state, cam_arrays, sampler.next(),
                                          image_arrays)
-        jax.block_until_ready(met["total_loss"])
+        _read(met)
         return iters / (time.perf_counter() - t0)
     finally:
         sampler.stop()
 
 
+def _emit(result) -> None:
+    """The ONE JSON line the driver records. Always reached — see main()."""
+    print(json.dumps(result))
+
+
+class _WatchdogExpired(Exception):
+    """Raised by SIGALRM: a backend call hung (dead tunnel blocks forever
+    inside PJRT init/execute rather than raising — measured on this image:
+    an unreachable backend makes the first jax op hang, not error)."""
+
+
 def main():
-    from neraf_tpu.utils.cache import enable_compilation_cache
+    # Everything — including backend init — is guarded AND time-bounded: a
+    # transient backend fault (the axon tunnel dropped mid-round at round-3
+    # close, zeroing BENCH_r03.json because _build_pipeline/init_state ran
+    # unguarded) must not zero the round's record, and a HANGING backend
+    # (the other observed failure mode) must not stall it forever. Failed
+    # stages report -1, errors go to stderr + extras.failed_stages, the
+    # JSON line ALWAYS prints, rc=0.
+    import os
+    import signal
 
-    enable_compilation_cache()
-    from __graft_entry__ import _build_pipeline
-
-    pipe = _build_pipeline(grid_res=128, tiny=False)
-    state = pipe.init_state(seed=0)
-
-    # Each stage individually guarded: a transient backend fault (the axon
-    # tunnel dropped mid-round on 2026-08-17) must not zero the whole
-    # round's record — failed stages report -1 and the error goes to stderr.
     errors = {}
+    phase_budget_s = float(os.environ.get("NERAF_BENCH_PHASE_BUDGET_S",
+                                          "1200"))
+    retry_base_s = float(os.environ.get("NERAF_BENCH_RETRY_BASE_S", "15"))
+
+    def _on_alarm(signum, frame):
+        raise _WatchdogExpired(f"no progress within {phase_budget_s:.0f}s")
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+
+    hung = False  # once one phase HANGS, skip all device work — the backend
+    # is gone and every further call would eat another full budget
 
     def stage(name, fn, default=-1.0):
+        nonlocal hung
+        if hung:
+            errors[name] = "skipped: backend watchdog expired earlier"
+            return default
+        signal.alarm(int(phase_budget_s))
         try:
             return fn()
+        except _WatchdogExpired as e:
+            hung = True
+            errors[name] = f"WatchdogExpired: {e}"
+            print(f"bench stage {name} hung: {errors[name]}",
+                  file=sys.stderr, flush=True)
+            return default
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             print(f"bench stage {name} failed: {errors[name]}",
                   file=sys.stderr, flush=True)
             return default
+        finally:
+            signal.alarm(0)
+
+    # Backend + pipeline init with bounded retry (the round-3 outage was
+    # transient tunnel death; one retry after a pause often recovers). A
+    # hang (watchdog) is terminal: retrying a wedged PJRT client hangs too.
+    pipe = state = None
+    for attempt in range(3):
+        signal.alarm(int(phase_budget_s))
+        try:
+            from neraf_tpu.utils.cache import enable_compilation_cache
+
+            enable_compilation_cache()
+            from __graft_entry__ import _build_pipeline
+
+            pipe = _build_pipeline(grid_res=128, tiny=False)
+            state = pipe.init_state(seed=0)
+            errors.pop("init", None)
+            break
+        except _WatchdogExpired as e:
+            errors["init"] = f"WatchdogExpired: {e}"
+            print(f"bench init hung: {errors['init']}",
+                  file=sys.stderr, flush=True)
+            hung = True
+            break
+        except Exception as e:  # noqa: BLE001 — record, pause, retry
+            errors["init"] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"bench init attempt {attempt + 1} failed: "
+                  f"{errors['init']}", file=sys.stderr, flush=True)
+            time.sleep(retry_base_s * (attempt + 1))
+        finally:
+            signal.alarm(0)
+    if pipe is None:
+        _emit({
+            "metric": ("RIRs/sec/chip (STFT synth + Griffin-Lim); "
+                       "rays/sec volume render; T60 err parity"),
+            "value": -1.0, "unit": "RIRs/sec/chip", "vs_baseline": -1.0,
+            "extras": {"failed_stages": errors},
+        })
+        return
 
     rirs_per_sec, rir_flops_64 = stage(
         "audio", lambda: bench_audio(pipe, state, want_flops=True),
@@ -303,15 +419,29 @@ def main():
     rirs_per_sec_b512 = stage(
         "audio_b512", lambda: bench_audio(pipe, state, n_rirs=512))
     rays_per_sec = stage("vision", lambda: bench_vision(pipe, state))
-    # train_step donates its input state; keep an undonated copy for the
-    # streaming-path comparison run
-    state_copy = jax.tree_util.tree_map(lambda x: x.copy(), state)
+    # train_step donates its input state; make all undonated copies for the
+    # streaming-path comparison runs UP FRONT (copying a donated buffer
+    # after its stage ran would fault)
+    copy_state = lambda s: jax.tree_util.tree_map(lambda x: x.copy(), s)
+    state_copy = copy_state(state)
+    state_copy2 = copy_state(state)
+    state_copy3 = copy_state(state)
     steps_per_sec, step_flops = stage(
         "train_step", lambda: bench_train_step(pipe, state),
         default=(-1.0, None))
     steps_per_sec_streaming = stage(
         "train_step_streaming",
         lambda: bench_train_step_streaming(pipe, state_copy))
+    # real disk-backed store legs (store creation warms the page cache for
+    # the warm leg; DONTNEED evicts it for the cold run)
+    steps_streaming_mm_cold = stage(
+        "train_step_streaming_memmap_cold",
+        lambda: bench_train_step_streaming(pipe, state_copy2,
+                                           store="memmap_cold"))
+    steps_streaming_mm_warm = stage(
+        "train_step_streaming_memmap_warm",
+        lambda: bench_train_step_streaming(pipe, state_copy3,
+                                           store="memmap_warm"))
     rirs_raf = stage("audio_raf", bench_audio_raf)
 
     result = {
@@ -326,6 +456,11 @@ def main():
             "rirs_per_sec_raf_48k": round(rirs_raf, 1),
             # out-of-HBM data path at office_4 scale (20,793-rec host store)
             "train_steps_per_sec_streaming": round(steps_per_sec_streaming, 2),
+            # same path from a REAL disk-backed np.memmap store
+            "train_steps_per_sec_streaming_memmap_cold":
+                round(steps_streaming_mm_cold, 2),
+            "train_steps_per_sec_streaming_memmap_warm":
+                round(steps_streaming_mm_warm, 2),
             "rir_geometry": "SoundSpaces 257x78 binaural, grid 128^3, resnet50, GL32",
             "cuda_baseline_estimate_rirs_per_sec": CUDA_BASELINE_RIRS_PER_SEC,
         },
@@ -333,17 +468,17 @@ def main():
     # MFU vs v5e bf16 peak, from XLA's analytic per-graph FLOP counts
     # (_compiled_flops doc): how much headroom remains at current speed.
     ex = result["extras"]
-    if step_flops is not None:
+    if step_flops is not None and steps_per_sec > 0:
         ex["flops_per_train_step"] = round(step_flops)
         ex["mfu_train"] = round(step_flops * steps_per_sec
                                 / V5E_BF16_PEAK_FLOPS, 4)
-    if rir_flops_64 is not None:
+    if rir_flops_64 is not None and rirs_per_sec > 0:
         ex["flops_per_rir"] = round(rir_flops_64 / 64)
         ex["mfu_rir_render"] = round(
             (rir_flops_64 / 64) * rirs_per_sec / V5E_BF16_PEAK_FLOPS, 4)
     if errors:
         ex["failed_stages"] = errors
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -196,15 +196,19 @@ def main(argv=None):
         serve(backend, port=args.viewer_port, blocking=False)
         print(f"viewer at http://127.0.0.1:{args.viewer_port}")
 
-        def on_metrics(step, scalars):
-            backend.step_hint = step
+        def _refresh():
             # snapshot lazily: the on-device copy of the whole train state
             # (params + opt states + 128^3 grid) is only needed when a
             # viewer request is actually waiting — with no client connected
-            # this cadence must not cost allocations on the hot path
-            if dispatcher.pending():
-                backend.state = snapshot(trainer._latest_state)
-            dispatcher.pump()
+            # this cadence must not cost allocations on the hot path.
+            # Passed as pump(before=...) so a request that arrives between
+            # any pending() check and pump() still renders a FRESH snapshot
+            # (never the stale — possibly step-0 — one).
+            backend.state = snapshot(trainer._latest_state)
+
+        def on_metrics(step, scalars):
+            backend.step_hint = step
+            dispatcher.pump(before=_refresh)
 
     try:
         state = trainer.train(

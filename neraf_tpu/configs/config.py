@@ -357,6 +357,13 @@ def apply_overrides(cfg: ExperimentConfig,
             # YAML 1.1 reads "1e-3" (no dot) as a string; coerce numerics
             # toward the field's current type
             value = type(current)(float(value))
+        elif isinstance(current, str) and not isinstance(value, str) \
+                and value is not None:
+            # YAML 1.1 reads on/off/yes/no as booleans and bare numbers as
+            # ints — for a str-typed field keep the user's literal text, so
+            # e.g. `--set audio_data.streaming=off` stores "off", not False
+            # (which would silently fall back to the auto heuristic).
+            value = raw.strip()
         setattr(obj, leaf, value)
     return cfg
 

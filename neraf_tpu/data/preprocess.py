@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -141,6 +142,81 @@ def habitat_pose_to_c2w(position, quat_xyzw) -> np.ndarray:
     return _HABITAT_TO_NERFSTUDIO @ m
 
 
+class HabitatSession:
+    """Habitat-Sim RGB render session for generate_vision.
+
+    Mirrors the reference notebook's simulator construction
+    (generate_vision.ipynb: backend/agent config cell 6, sensor spec cell 6,
+    Simulator + navmesh cell 8, per-pose agent state + observation cell 10):
+    one pinhole COLOR sensor at ``sensor_height`` above the agent, the agent
+    teleported to each recorded (position, xyzw-quaternion) pose, and the
+    color observation returned as an RGB uint8 (H, W, 3) array.
+
+    ``settings`` is the scene's ``*_SimParams.json`` dict — it carries the
+    Replica asset paths (scene / scene_dataset / navmesh). Those paths are
+    machine-specific; set ``NERAF_HABITAT_SCENE_ROOT`` to remap the recorded
+    dataset root (settings["path"]) onto the local filesystem.
+    """
+
+    def __init__(self, settings: dict):
+        import habitat_sim
+
+        settings = dict(settings)
+        root = os.environ.get("NERAF_HABITAT_SCENE_ROOT")
+        if root:
+            old = settings.get("path", "")
+            for k in ("scene", "scene_dataset", "navmesh"):
+                if k in settings and old and settings[k].startswith(old):
+                    settings[k] = root + settings[k][len(old):]
+
+        # RGB pinhole sensor, sensor_height above the agent (cell 6)
+        rgb = habitat_sim.CameraSensorSpec()
+        rgb.uuid = "color_sensor"
+        rgb.sensor_type = habitat_sim.SensorType.COLOR
+        rgb.sensor_subtype = habitat_sim.SensorSubType.PINHOLE
+        rgb.resolution = [int(settings["height"]), int(settings["width"])]
+        rgb.position = [0.0, float(settings["sensor_height"]), 0.0]
+        rgb.orientation = [0.0, 0.0, 0.0]
+        try:  # hfov is a magnum Deg in habitat's API; plain float if absent
+            import magnum as mn
+
+            rgb.hfov = mn.Deg(float(settings["hfov"]))
+        except ImportError:
+            rgb.hfov = float(settings["hfov"])
+
+        backend = habitat_sim.SimulatorConfiguration()
+        backend.gpu_device_id = int(settings.get("gpu_device_id", 0))
+        backend.scene_id = settings["scene"]
+        backend.scene_dataset_config_file = settings["scene_dataset"]
+        backend.load_semantic_mesh = True
+        backend.enable_physics = False
+
+        agent = habitat_sim.AgentConfiguration()
+        agent.sensor_specifications = [rgb]
+
+        self.sim = habitat_sim.Simulator(
+            habitat_sim.Configuration(backend, [agent]))
+        if settings.get("navmesh"):
+            self.sim.pathfinder.load_nav_mesh(settings["navmesh"])
+        self.settings = settings
+
+    def render(self, position, quat_xyzw, settings=None) -> "np.ndarray":
+        """Teleport the agent and capture one RGB frame (cell 10)."""
+        from habitat_sim.utils.common import quat_from_coeffs
+
+        agent = self.sim.get_agent(int(self.settings.get("default_agent", 0)))
+        state = agent.get_state()
+        state.position = np.asarray(position, np.float32)
+        state.rotation = quat_from_coeffs(np.asarray(quat_xyzw, float))
+        state.sensor_states = {}  # let the sensor follow the agent
+        agent.set_state(state, True)
+        obs = self.sim.get_sensor_observations()
+        return np.asarray(obs["color_sensor"])[..., :3].astype(np.uint8)
+
+    def close(self) -> None:
+        self.sim.close()
+
+
 def _habitat_render_fn(settings: dict):
     """Default renderer: a Habitat-Sim session (gated on habitat_sim)."""
     try:
@@ -154,9 +230,7 @@ def _habitat_render_fn(settings: dict):
             "uint8 (H, W, 3) array for an agent (position, quat_xyzw) — "
             "the pose conversion, intrinsics and transforms.json layout "
             "are all handled here either way.") from e
-    raise NotImplementedError(
-        "habitat_sim present but the session driver is not implemented in "
-        "this build; pass render_fn=... (see generate_vision docstring).")
+    return HabitatSession(settings).render
 
 
 def generate_vision(scene_dir, render_fn=None, image_dir: str = "images",

@@ -50,6 +50,10 @@ class AudioEngine:
         self.optimizer = make_optimizer(self.config.optimizers.audio_fields)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._render_all = jax.jit(self._render_all_impl)
+        # jitted ONCE per engine: a fresh jit closure per evaluate() call
+        # would re-trace (and without the persistent cache recompile) the
+        # full render+Griffin-Lim graph on every in-training eval.
+        self._render_chunk = jax.jit(self._render_chunk_impl)
 
     def init_state(self, seed: int | None = None) -> AudioTrainState:
         seed = self.config.seed if seed is None else seed
@@ -91,6 +95,19 @@ class AudioEngine:
         return self.model.render_rirs_batch(
             params, mic_poses, source_poses, rots, self.aabb)
 
+    def _render_chunk_impl(self, params, mic, src, rot, gt_log, k):
+        cfg = self.model.config
+        log_pred = self._render_all_impl(params, mic, src, rot)
+        mag_pred = log_to_magnitude(log_pred)
+        mag_gt = log_to_magnitude(gt_log)
+        wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
+                               hop_length=cfg.hop_len,
+                               win_length=cfg.win_len, key=k)
+        wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft,
+                                   hop_length=cfg.hop_len,
+                                   win_length=cfg.win_len, key=k)
+        return log_pred, mag_pred, mag_gt, wav_pred, wav_gt_istft
+
     def evaluate(self, state: AudioTrainState, dataset: AudioSliceDataset,
                  key: jax.Array | None = None, chunk: int = 512) -> dict:
         """Full eval sweep: render all eval RIRs, Griffin-Lim, acoustic metrics.
@@ -114,18 +131,7 @@ class AudioEngine:
         rot_all = np.asarray(o.rotations, np.float32)
         log_gt_all = np.asarray(dataset.log_stft, np.float32)
 
-        @jax.jit
-        def render_chunk(params, mic, src, rot, gt_log, k):
-            log_pred = self._render_all_impl(params, mic, src, rot)
-            mag_pred = log_to_magnitude(log_pred)
-            mag_gt = log_to_magnitude(gt_log)
-            wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
-                                   hop_length=cfg.hop_len,
-                                   win_length=cfg.win_len, key=k)
-            wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft,
-                                       hop_length=cfg.hop_len,
-                                       win_length=cfg.win_len, key=k)
-            return log_pred, mag_pred, mag_gt, wav_pred, wav_gt_istft
+        render_chunk = self._render_chunk  # jitted once in __post_init__
 
         evaluator = (RAFEvaluator(fs=cfg.fs) if cfg.dataset == "RAF"
                      else SoundSpacesEvaluator(fs=cfg.fs))

@@ -22,6 +22,7 @@ is a multiplicative mask (no retracing).
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Any, NamedTuple
 
@@ -39,16 +40,28 @@ from neraf_tpu.metrics.evaluators import RAFEvaluator, SoundSpacesEvaluator
 from neraf_tpu.metrics.image import psnr as psnr_fn, ssim as ssim_fn
 
 
+_LPIPS_SKIP_REASON = ("no pretrained LPIPS weights resolved (set "
+                      "NERAF_LPIPS_WEIGHTS to a converted .npz)")
+_lpips_warned = False
+
+
 def _maybe_lpips(pred, gt) -> float | None:
     """LPIPS when converted pretrained weights are available (reference
     reports PSNR/SSIM/LPIPS per eval view, NeRAF_pipeline.py:328); None —
-    not NaN — when no weights resolve, so metric dicts stay JSON-clean."""
+    not NaN — when no weights resolve, so metric dicts stay JSON-clean.
+    Callers record the skip EXPLICITLY (lpips=null + lpips_skipped reason)
+    so reference-parity metric tables can't silently lose the column."""
+    global _lpips_warned
     from neraf_tpu.metrics.lpips_impl import (
         load_params, lpips_distance, resolve_default_weights,
     )
 
     path = resolve_default_weights()
     if path is None:
+        if not _lpips_warned:
+            print(f"WARNING: lpips skipped — {_LPIPS_SKIP_REASON}",
+                  file=sys.stderr, flush=True)
+            _lpips_warned = True
         return None
     params, net = load_params(str(path))
     try:
@@ -116,6 +129,10 @@ class JointPipeline:
                                          static_argnums=(2,))
         self._grid_feature_eval = jax.jit(self._grid_feature_eval_impl)
         self._render_rirs = jax.jit(self._render_rirs_impl)
+        # jitted ONCE per pipeline: a fresh jit closure per evaluate_audio()
+        # call would re-trace/recompile the full render+Griffin-Lim graph on
+        # every in-training eval cadence.
+        self._render_rir_chunk = jax.jit(self._render_rir_chunk_impl)
 
     # ------------------------------------------------------------------- init
     def init_state(self, seed: int | None = None) -> JointTrainState:
@@ -173,19 +190,35 @@ class JointPipeline:
         statistics and the final average pool (SURVEY §5.8).
         """
         vol = grid_to_volume(grid, self.grid_res)
+        reshard = None
         if self.mesh is not None and "data" in self.mesh.axis_names:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            vol = jax.lax.with_sharding_constraint(
-                vol, NamedSharding(self.mesh, P(None, "data")))
+            mesh = self.mesh
+            n_shards = mesh.shape["data"]
+
+            def reshard(x, next_stride=1):
+                # Depth-shard while EVERY windowed op in the next stage
+                # keeps >= 2 planes per shard (a stride-s stage halves the
+                # depth s-fold before its stride-1 convs run), else force
+                # replication: propagating the split into 1-plane shards
+                # silently corrupts conv results (XLA partitioner hazard,
+                # pinned by tests/test_parallel.py numerics assert).
+                if x.shape[1] >= 2 * next_stride * n_shards:
+                    spec = P(None, "data")
+                else:
+                    spec = P()
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+
         if train:
             feat, mut = self.resnet.apply(
                 {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
-                vol, train=True, mutable=["batch_stats"])
+                vol, train=True, reshard=reshard, mutable=["batch_stats"])
             return feat[0], mut["batch_stats"]
         feat = self.resnet.apply(
             {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
-            vol, train=False)
+            vol, train=False, reshard=reshard)
         return feat[0], batch_stats
 
     # ------------------------------------------------------------- train step
@@ -386,8 +419,9 @@ class JointPipeline:
             "num_rays": H * W,
         }
         lp = _maybe_lpips(out["rgb"], gt_image)
-        if lp is not None:
-            metrics["lpips"] = lp
+        metrics["lpips"] = lp  # None = skipped, flagged below
+        if lp is None:
+            metrics["lpips_skipped"] = _LPIPS_SKIP_REASON
         images = {"img": out["rgb"], "depth": out["depth"],
                   "accumulation": out["accumulation"]}
 
@@ -528,6 +562,12 @@ class JointPipeline:
         if lpipss:
             result["lpips"] = float(np.mean(lpipss))
             result["lpips_std"] = float(np.std(lpipss))
+        else:
+            # explicit skip marker: the reference ALWAYS reports LPIPS
+            # (NeRAF_pipeline.py:328); parity tables must see the column
+            # was skipped, not silently lose it.
+            result["lpips"] = None
+            result["lpips_skipped"] = _LPIPS_SKIP_REASON
         return result
 
     def evaluate_audio_device(self, state: JointTrainState, dataset,
@@ -649,6 +689,21 @@ class JointPipeline:
         out["num_rays_per_sec_audio"] = n * cfg.max_len / dt
         return out
 
+    def _render_rir_chunk_impl(self, params, batch_stats, grid,
+                               mic, src, rot, gt_log, k):
+        cfg = self.audio_model.config
+        log_pred = self._render_rirs_impl(params, batch_stats, grid,
+                                          mic, src, rot)
+        mag_pred = log_to_magnitude(log_pred)
+        mag_gt = log_to_magnitude(gt_log)
+        wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
+                               hop_length=cfg.hop_len,
+                               win_length=cfg.win_len, key=k)
+        wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft,
+                                   hop_length=cfg.hop_len,
+                                   win_length=cfg.win_len, key=k)
+        return log_pred, mag_pred, mag_gt, wav_pred, wav_gt_istft
+
     def evaluate_audio(self, state: JointTrainState, dataset,
                        key: jax.Array | None = None, chunk: int = 512) -> dict:
         """All-eval-RIRs sweep with grid conditioning (eval-mode BN).
@@ -673,20 +728,7 @@ class JointPipeline:
                      else SoundSpacesEvaluator(fs=cfg.fs))
         per_rir = []
         render_time = 0.0
-
-        @jax.jit
-        def render_chunk(params, batch_stats, grid, mic, src, rot, gt_log, k):
-            log_pred = self._render_rirs_impl(params, batch_stats, grid,
-                                              mic, src, rot)
-            mag_pred = log_to_magnitude(log_pred)
-            mag_gt = log_to_magnitude(gt_log)
-            wav_pred = griffin_lim(mag_pred, n_fft=cfg.n_fft,
-                                   hop_length=cfg.hop_len,
-                                   win_length=cfg.win_len, key=k)
-            wav_gt_istft = griffin_lim(mag_gt, n_fft=cfg.n_fft,
-                                       hop_length=cfg.hop_len,
-                                       win_length=cfg.win_len, key=k)
-            return log_pred, mag_pred, mag_gt, wav_pred, wav_gt_istft
+        render_chunk = self._render_rir_chunk  # jitted once in __post_init__
 
         for i in range(0, n, chunk):
             sl = slice(i, i + chunk)

@@ -111,19 +111,33 @@ class ResNet3D(nn.Module):
         return planes * block.expansion
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, reshard=None):
+        """reshard: optional callable(x, next_stride) -> x applied at the
+        input and at every stage boundary. Under a device mesh the pipeline
+        passes a hook that depth-shards the volume while every windowed op
+        in the next stage keeps a per-shard slab of >= 2 planes, and
+        EXPLICITLY re-replicates once it would fall below — letting the
+        split propagate into windowed ops with 1-plane shards silently
+        corrupts the conv results (measured on the XLA CPU partitioner:
+        stride-2 conv3d at 1 plane/shard returns wrong values without
+        erroring; pinned by tests/test_parallel.py numerics assert)."""
         assert self.n_features in (1024, 2048), "N_features should be 1024 or 2048"
         block, layers = _BACKBONES[self.backbone]
+        if reshard is None:
+            reshard = lambda t, next_stride=1: t
 
+        x = reshard(x, 2)  # stem conv is stride 2
         x = nn.Conv(64, (5, 5, 5), strides=(2, 2, 2), padding=2, use_bias=False,
                     kernel_init=_XAVIER, name="conv1", dtype=self.dtype)(x)  # 128 -> 64
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name="bn1", dtype=self.dtype)(x))
+        x = reshard(x, 2)  # maxpool is stride 2
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)  # -> 32
 
         def stage(x, planes, blocks, stride, name):
             in_ch = x.shape[-1]
             needs_down = stride != 1 or in_ch != planes * block.expansion
+            x = reshard(x, stride)
             x = block(planes=planes, stride=stride, downsample=needs_down,
                       name=f"{name}_0", dtype=self.dtype)(x, train)
             for i in range(1, blocks):

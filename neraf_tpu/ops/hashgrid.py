@@ -113,7 +113,11 @@ def init_hash_table(key: jax.Array, spec: HashGridSpec, dtype=jnp.float32) -> jn
 # Sort-length cap for the sort-based table gradients: 2M rows compiles in
 # ~60 s on the remote TPU compiler, while the full 12.6M-row training load
 # never finished compiling (>10 min) — see gather_rows docstring.
-_BWD_SORT_CHUNK = 2 ** 21
+# Env-overridable for sweeps (scripts/hash_joint_bench.py); read at trace
+# time, so a change retraces/recompiles as intended.
+import os as _os
+
+_BWD_SORT_CHUNK = int(_os.environ.get("NERAF_HASH_BWD_CHUNK", 2 ** 21))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -1,9 +1,10 @@
 """Metrics logging: tensorboard events + JSONL mirror.
 
 The reference logs through nerfstudio's tensorboard writer
-(NeRAF_config.py:134). Here scalars go to a torch SummaryWriter when
-available (torch ships in the image) and always to a plain JSONL file so
-runs are inspectable without any viewer.
+(NeRAF_config.py:134). Here scalars go to a torch SummaryWriter when one
+is importable (torch is NOT present in this image, so tensorboard event
+writing is disabled here) and always to a plain JSONL file so runs are
+inspectable without any viewer.
 """
 
 from __future__ import annotations

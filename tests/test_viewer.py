@@ -85,6 +85,61 @@ def test_train_thread_dispatcher():
     assert results["err"] is True
 
 
+def test_dispatcher_pump_before_refreshes_snapshot():
+    """pump(before=...) runs the snapshot callback iff requests are waiting,
+    BEFORE the first thunk — so a request enqueued between the training
+    loop's pending() check and pump() never renders a stale (possibly
+    step-0) state (ADVICE r3, low #3)."""
+    import threading
+    import time
+
+    from neraf_tpu.viz.viewer import TrainThreadDispatcher
+
+    d = TrainThreadDispatcher(timeout_s=10)
+    state = {"v": 0}  # stands in for backend.state
+    seen = {}
+
+    def handler():
+        seen["v"] = d(lambda: state["v"])
+
+    t = threading.Thread(target=handler)
+    t.start()
+    # wait for the request to be enqueued, then pump WITHOUT any prior
+    # pending() snapshot — before= must deliver the fresh value
+    for _ in range(500):
+        if d.pending():
+            break
+        time.sleep(0.01)
+    d.pump(before=lambda: state.update(v=7))
+    t.join(timeout=5)
+    assert seen["v"] == 7
+    # empty queue: before must NOT run
+    d.pump(before=lambda: state.update(v=99))
+    assert state["v"] == 7
+    # a failing snapshot surfaces to the handler instead of rendering stale
+    err = {}
+
+    def handler2():
+        try:
+            d(lambda: state["v"])
+        except RuntimeError:
+            err["raised"] = True
+
+    t2 = threading.Thread(target=handler2)
+    t2.start()
+    for _ in range(500):
+        if d.pending():
+            break
+        time.sleep(0.01)
+
+    def bad_snapshot():
+        raise RuntimeError("snapshot failed")
+
+    d.pump(before=bad_snapshot)
+    t2.join(timeout=5)
+    assert err.get("raised") is True
+
+
 def _dry_wav_bytes(fs: int, seconds: float = 0.05) -> bytes:
     import io
 
