@@ -222,7 +222,12 @@ def _memmap_store(n_rec: int, shape, path="/tmp/neraf_bench_store.npy",
     """A REAL disk-backed np.memmap store at office_4 scale (the reference
     streams RIRs from disk, NeRAF_datamanager.py:84-133). cold=True evicts
     the file's pages first (posix_fadvise DONTNEED) so gathers hit the disk;
-    warm leaves the page cache populated from creation/the previous run."""
+    warm leaves the page cache populated from creation/the previous run.
+    `shape` is the store's on-disk per-recording shape — the production
+    streaming layout is TIME-MAJOR (T,C,F), data/streaming.py, so a cold
+    gather reads one contiguous C*F*4-byte column per sample instead of
+    touching every page of a (C,F,T) recording row (measured 1.5 -> see
+    docs/DATA.md steps/s difference)."""
     import os
 
     n_bytes = int(np.prod((n_rec, *shape))) * 4
@@ -249,10 +254,11 @@ def bench_train_step_streaming(pipe, state, iters: int = 10,
                                store: str = "ram") -> float:
     """Joint train step fed by the out-of-HBM streaming path at office_4
     scale (20,793 recordings x 2x257x78 = 3.1 GiB host store). store:
-    "ram" = zeros-backed (gather + transfer cost identical, MBs of RSS);
-    "memmap_cold"/"memmap_warm" = a real disk-backed np.memmap with the
-    page cache evicted/populated (VERDICT r3 #3 — DATA.md's "host store
-    should be RAM-resident" warning needs a measured number).
+    "ram" = zeros-backed, auto-transposed time-major by the sampler;
+    "memmap_cold"/"memmap_warm" = a real disk-backed time-major np.memmap
+    (the production layout) with the page cache evicted/populated;
+    "memmap_cft_cold"/"memmap_cft_warm" = the naive (C,F,T) disk layout,
+    kept so DATA.md's layout comparison stays reproducible (VERDICT r3 #3).
     The done-bar from VERDICT r2 #1: within ~15% of the HBM path's steps/s."""
     import dataclasses
 
@@ -285,11 +291,21 @@ def bench_train_step_streaming(pipe, state, iters: int = 10,
         outputs: _Outputs
         max_len: int
 
+    sampler_kwargs = {}
     if store == "ram":
         log_stft = np.zeros((n_rec, 2, F, T), np.float32)  # lazily-backed
-    else:
+    elif store.startswith("memmap_cft"):
+        # the UN-optimized (C,F,T) disk layout — kept measurable so
+        # docs/DATA.md's layout table stays reproducible
         log_stft = _memmap_store(n_rec, (2, F, T),
+                                 path="/tmp/neraf_bench_store_cft.npy",
                                  cold=store.endswith("cold"))
+        sampler_kwargs["time_major"] = False
+    else:
+        # production streaming layout: time-major (T,C,F)
+        log_stft = _memmap_store(n_rec, (T, 2, F),
+                                 cold=store.endswith("cold"))
+        sampler_kwargs["layout"] = "tcf"
     ds = _HostDataset(
         log_stft=log_stft,
         outputs=_Outputs(
@@ -300,7 +316,7 @@ def bench_train_step_streaming(pipe, state, iters: int = 10,
 
     state = state._replace(step=jnp.int32(3000))
     sampler = StreamingAudioSampler(ds, pipe.config.audio_data.batch_size,
-                                    seed=0, prefetch=3)
+                                    seed=0, prefetch=3, **sampler_kwargs)
     _read = lambda m: float(np.asarray(m["total_loss"]))  # timing doctrine
     try:
         state, met = pipe.train_step(state, cam_arrays, sampler.next(),

@@ -42,6 +42,26 @@ def split_device_bytes(log_stft) -> int:
     return int(np.prod(log_stft.shape)) * log_stft.dtype.itemsize
 
 
+def write_time_major_store(log_stft, path, block: int = 256) -> np.memmap:
+    """One-time (N,C,F,T) -> (N,T,C,F) transposed disk store for streaming.
+
+    The streaming gather reads one (C,F) column per sample; in the natural
+    (N,C,F,T) layout those C*F elements are strided T floats apart, so a
+    cold-page gather touches EVERY page of the 160 KB recording row (~80x
+    the useful bytes — docs/DATA.md measured 1.5 steps/s from a cold store).
+    A time-major store makes each column one contiguous C*F*4-byte read.
+    Sequential one-time transpose, block rows at a time.
+    """
+    n = log_stft.shape[0]
+    tm_shape = (n, log_stft.shape[3], log_stft.shape[1], log_stft.shape[2])
+    mm = np.memmap(path, np.float32, "w+", shape=tm_shape)
+    for i in range(0, n, block):
+        mm[i:i + block] = np.asarray(
+            log_stft[i:i + block]).transpose(0, 3, 1, 2)
+    mm.flush()
+    return np.memmap(path, np.float32, "r", shape=tm_shape)
+
+
 def should_stream(audio_cfg, dataset) -> bool:
     """Pick the data path per config: "on" / "off" / "auto" (size-based).
 
@@ -70,8 +90,28 @@ class StreamingAudioSampler:
 
     def __init__(self, dataset, batch_size: int, max_len: int | None = None,
                  seed: int = 0, prefetch: int = 2,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32",
+                 time_major: bool | str = "auto", layout: str = "cft"):
         self.log_stft = dataset.log_stft  # HOST (N, C, F, T); may be memmap
+        # Gather layout: the hot op is "one (C,F) column per sample", so the
+        # store SHOULD be time-major (N,T,C,F) — each column is then one
+        # contiguous C*F*4-byte read instead of C*F elements strided T
+        # floats apart across the whole 160 KB recording row.
+        #   layout="tcf": caller already hands a time-major store (e.g. from
+        #     write_time_major_store); used as-is.
+        #   time_major=True/"auto": in-RAM ndarray stores are transposed
+        #     once at init ("auto" skips memmaps — transposing those would
+        #     pull the whole out-of-core store through RAM; use
+        #     write_time_major_store for a persistent transposed copy).
+        self._tm = layout == "tcf"
+        if self._tm:
+            self.log_stft = dataset.log_stft
+        elif time_major is True or (
+                time_major == "auto"
+                and type(self.log_stft) is np.ndarray):
+            self.log_stft = np.ascontiguousarray(
+                np.asarray(self.log_stft).transpose(0, 3, 1, 2))
+            self._tm = True
         # transfer_dtype="bfloat16" halves host->device bytes per batch
         # (~4.2 MB -> 2.1 MB at the 2048x2x257 geometry) at a <=2^-8
         # relative quantization of the log-magnitudes; the jitted step
@@ -107,8 +147,17 @@ class StreamingAudioSampler:
         rec = (idx // self.max_len).astype(np.int32)
         t = (idx % self.max_len).astype(np.int32)
         # same gather semantics as the in-jit path
-        # (loader.gather_audio_batch: log_stft[rec, :, :, t] -> (B, C, F))
-        data = np.ascontiguousarray(self.log_stft[rec, :, :, t])
+        # (loader.gather_audio_batch: log_stft[rec, :, :, t] -> (B, C, F));
+        # gather in sorted-index order for page locality (memmap stores),
+        # then unsort — the batch an index targets must not change.
+        order = np.lexsort((t, rec))
+        inv = np.argsort(order)
+        if self._tm:
+            data = np.ascontiguousarray(
+                self.log_stft[rec[order], t[order]][inv])
+        else:
+            data = np.ascontiguousarray(
+                self.log_stft[rec[order], :, :, t[order]][inv])
         if data.dtype != self._transfer_np_dtype:
             data = data.astype(self._transfer_np_dtype)
         return {"audio_idx": rec, "time_query": t, "data": data}

@@ -228,3 +228,37 @@ def test_bf16_transfer_dtype_halves_bytes_and_bounds_error(rng):
 
     with pytest.raises(ValueError, match="transfer_dtype"):
         StreamingAudioSampler(ds, batch_size=8, transfer_dtype="float16")
+
+
+def test_time_major_layouts_gather_identically(rng, tmp_path):
+    """All three store layouts — auto-transposed RAM, explicit
+    time_major=False, and a write_time_major_store disk memmap — draw
+    byte-identical batches for the same seed (the layout is a pure
+    locality optimization; docs/DATA.md measures the IO difference)."""
+    from neraf_tpu.data.streaming import write_time_major_store
+
+    ds = _make_dataset(rng)
+    draws = {}
+    tm_store = write_time_major_store(ds.log_stft,
+                                      tmp_path / "tm_store.npy")
+    assert tm_store.shape == (12, 7, 2, 9)
+    np.testing.assert_array_equal(np.asarray(tm_store),
+                                  ds.log_stft.transpose(0, 3, 1, 2))
+
+    ds_tm = dataclasses.replace(ds, log_stft=tm_store)
+    for name, kwargs, d in (
+            ("auto_tm", {}, ds),
+            ("no_tm", {"time_major": False}, ds),
+            ("disk_tm", {"layout": "tcf"}, ds_tm)):
+        with StreamingAudioSampler(d, batch_size=16, seed=7,
+                                   **kwargs) as sampler:
+            draws[name] = [jax.tree_util.tree_map(np.asarray, sampler.next())
+                           for _ in range(3)]
+    for other in ("no_tm", "disk_tm"):
+        for b_ref, b in zip(draws["auto_tm"], draws[other]):
+            for k in b_ref:
+                np.testing.assert_array_equal(b_ref[k], b[k], err_msg=k)
+    # and the gather is still correct vs the source-of-truth layout
+    for b in draws["disk_tm"]:
+        np.testing.assert_array_equal(
+            b["data"], ds.log_stft[b["audio_idx"], :, :, b["time_query"]])
