@@ -315,8 +315,10 @@ def bench_train_step_streaming(pipe, state, iters: int = 10,
         max_len=T)
 
     state = state._replace(step=jnp.int32(3000))
-    sampler = StreamingAudioSampler(ds, pipe.config.audio_data.batch_size,
-                                    seed=0, prefetch=3, **sampler_kwargs)
+    sampler = StreamingAudioSampler(
+        ds, pipe.config.audio_data.batch_size, seed=0, prefetch=3,
+        transfer_dtype=pipe.config.audio_data.stream_transfer_dtype,
+        **sampler_kwargs)
     _read = lambda m: float(np.asarray(m["total_loss"]))  # timing doctrine
     try:
         state, met = pipe.train_step(state, cam_arrays, sampler.next(),

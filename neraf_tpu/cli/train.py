@@ -95,7 +95,8 @@ def main(argv=None):
 
         if should_stream(cfg.audio_data, audio_train):
             sampler = StreamingAudioSampler(
-                audio_train, cfg.audio_data.batch_size, seed=args.seed)
+                audio_train, cfg.audio_data.batch_size, seed=args.seed,
+                transfer_dtype=cfg.audio_data.stream_transfer_dtype)
             step_fn = lambda s: engine.train_step(s, sampler.next())
         else:
             sampler = None
@@ -129,7 +130,8 @@ def main(argv=None):
         # apartment-scale splits: log-STFT stays in host memory, batches
         # stream with a double-buffered async device_put (data/streaming.py)
         audio_sampler = StreamingAudioSampler(
-            bundle.audio_train, cfg.audio_data.batch_size, seed=args.seed)
+            bundle.audio_train, cfg.audio_data.batch_size, seed=args.seed,
+            transfer_dtype=cfg.audio_data.stream_transfer_dtype)
         next_audio = audio_sampler.next
     else:
         audio_sampler = None

@@ -159,6 +159,13 @@ class AudioDataConfig:
     # next to the model — docs/DATA.md has the per-scene table)
     streaming: str = "auto"
     stream_threshold_gb: float = 8.0
+    # host->device dtype for streamed STFT-column batches. bfloat16 halves
+    # the per-step transfer (~4.2 MB -> 2.1 MB at 2048x2x257) for a <=2^-8
+    # relative quantization of the log-magnitudes (upcast to fp32 in-jit,
+    # loader.resolve_audio_batch); the transfer link is what bounds the
+    # streamed path, so this is the production default. Set "float32" for
+    # bit-exact parity with the HBM path.
+    stream_transfer_dtype: str = "bfloat16"
 
 
 @dataclass

@@ -89,9 +89,10 @@ class StreamingAudioSampler:
     """
 
     def __init__(self, dataset, batch_size: int, max_len: int | None = None,
-                 seed: int = 0, prefetch: int = 2,
+                 seed: int = 0, prefetch: int = 3,
                  transfer_dtype: str = "float32",
-                 time_major: bool | str = "auto", layout: str = "cft"):
+                 time_major: bool | str = "auto", layout: str = "cft",
+                 inflight: int = 2):
         self.log_stft = dataset.log_stft  # HOST (N, C, F, T); may be memmap
         # Gather layout: the hot op is "one (C,F) column per sample", so the
         # store SHOULD be time-major (N,T,C,F) — each column is then one
@@ -136,7 +137,14 @@ class StreamingAudioSampler:
         self._host_q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         self._stopped = threading.Event()
         self._error: BaseException | None = None
-        self._inflight = None  # device batch whose transfer has been started
+        # device batches whose async transfers have been started, oldest
+        # first; depth >1 keeps a transfer in flight even while the step
+        # that consumes the previous batch is still enqueuing, which hides
+        # the host->device copy latency (the axon tunnel's ~4 MB transfer
+        # is comparable to a whole train step) behind TWO steps instead of
+        # the tail of one.
+        self._inflight_max = max(1, int(inflight))
+        self._inflight: list = []
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
@@ -201,14 +209,19 @@ class StreamingAudioSampler:
         Structure matches loader.resolve_audio_batch's streaming form:
         pose tables (N,3) + pre-gathered data (B,C,F) + indices (B,).
         """
-        if self._inflight is None:
-            self._inflight = self._start_transfer(self._get_host_batch(True))
-        out = self._inflight
-        # begin the NEXT batch's transfer before returning, so it overlaps
-        # the step that consumes `out`; if the producer is behind, skip —
-        # the next call will block on the queue instead
-        nb = self._get_host_batch(False)
-        self._inflight = self._start_transfer(nb) if nb is not None else None
+        if not self._inflight:
+            self._inflight.append(
+                self._start_transfer(self._get_host_batch(True)))
+        out = self._inflight.pop(0)
+        # top the transfer pipeline back up to `inflight` depth before
+        # returning, so upcoming batches' copies overlap the step that
+        # consumes `out` (and the one after); if the producer is behind,
+        # skip — a later call will block on the queue instead
+        while len(self._inflight) < self._inflight_max:
+            nb = self._get_host_batch(False)
+            if nb is None:
+                break
+            self._inflight.append(self._start_transfer(nb))
         return out
 
     def stop(self):
