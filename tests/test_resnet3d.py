@@ -33,6 +33,71 @@ def test_feature_dim_resnet50():
     assert ResNet3D(backbone="resnet50", n_features=2048).feature_dim == 2048
 
 
+def test_s2d_stem_matches_direct_conv():
+    """The space-to-depth stem (the joint step's hottest-op fix, profiled
+    17.9 ms wgrad on v5e for the direct k5/s2 C_in=7 conv) must be
+    numerically identical to the direct convolution — forward, dW and dx —
+    and share the same (5,5,5,C,64) checkpoint parameter."""
+    from neraf_tpu.models.resnet3d import _StemConv
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 16, 16, 16, 7))
+    direct = _StemConv(impl="direct")
+    s2d = _StemConv(impl="s2d")
+    params = direct.init(key, x)
+    assert params["params"]["kernel"].shape == (5, 5, 5, 7, 64)
+
+    yd = direct.apply(params, x)
+    ys = s2d.apply(params, x)
+    assert yd.shape == ys.shape == (1, 8, 8, 8, 64)
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(ys),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(mod):
+        return lambda p, xx: jnp.sum(jnp.sin(mod.apply(p, xx)))
+
+    gd_p, gd_x = jax.grad(loss(direct), argnums=(0, 1))(params, x)
+    gs_p, gs_x = jax.grad(loss(s2d), argnums=(0, 1))(params, x)
+    kd = np.asarray(gd_p["params"]["kernel"])
+    ks = np.asarray(gs_p["params"]["kernel"])
+    scale = np.abs(kd).max()
+    np.testing.assert_allclose(kd / scale, ks / scale, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd_x), np.asarray(gs_x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_stem_odd_size_falls_back():
+    from neraf_tpu.models.resnet3d import _StemConv
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 15, 15, 15, 7))
+    s2d = _StemConv(impl="s2d")
+    params = s2d.init(key, x)
+    assert s2d.apply(params, x).shape == (1, 8, 8, 8, 64)
+
+
+def test_separable_maxpool_matches_direct():
+    """Separable 3x1-D maxpool == joint 3^3 maxpool: identical forward
+    always; identical gradients on tie-free (continuous random) input."""
+    model_sep = ResNet3D(backbone="resnet18", pool_impl="separable")
+    model_dir = ResNet3D(backbone="resnet18", pool_impl="direct")
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (1, 16, 16, 16, 7))
+    variables = model_dir.init(jax.random.PRNGKey(0), x, train=True)
+
+    ys = model_sep.apply(variables, x, train=False)
+    yd = model_dir.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yd),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(mod):
+        return lambda xx: jnp.sum(mod.apply(variables, xx, train=False) ** 2)
+
+    gs = np.asarray(jax.grad(loss(model_sep))(x))
+    gd = np.asarray(jax.grad(loss(model_dir))(x))
+    np.testing.assert_allclose(gs, gd, atol=1e-5, rtol=1e-4)
+
+
 def test_batch_stats_update_in_train_mode():
     model = ResNet3D(backbone="resnet18", n_features=1024)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 16, 7))
