@@ -85,6 +85,20 @@ def main(argv=None):
     if not cfg.audio_model.use_grid:
         return _eval_audio_only(cfg, run_dir, args)
 
+    # LPIPS status up front (reference always reports it, NeRAF_pipeline.py:328):
+    # a user without converted weights learns WHY the column will be null
+    # before the sweep runs, not after digging through the JSON.
+    from neraf_tpu.metrics.lpips_impl import resolve_default_weights
+
+    lpips_path = resolve_default_weights()
+    if lpips_path is None:
+        print("lpips: SKIPPED — no pretrained weights resolved; convert once "
+              "with metrics.lpips_impl.params_from_torch_state_dicts (see "
+              "README 'LPIPS weights') and set NERAF_LPIPS_WEIGHTS or drop "
+              "the .npz under ~/.cache/neraf/", flush=True)
+    else:
+        print(f"lpips: using weights {lpips_path}", flush=True)
+
     inference_mode = "AVN_RENDER_POSES" in os.environ
     bundle = build_pipeline(
         cfg, audio_split_override="inference" if inference_mode else None)

@@ -29,6 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--load-dir", default=None)
     p.add_argument("--output-dir", default=None)
+    p.add_argument("--run-dir", default=None,
+                   help="pin the EXACT run directory (skip the timestamped "
+                        "subdir) — lets resume legs append to one run's "
+                        "metrics.jsonl and checkpoint dir")
     p.add_argument("--audio-only", action="store_true",
                    help="train the grid-free acoustic field only")
     p.add_argument("--num-devices", type=int, default=None,
@@ -87,7 +91,7 @@ def main(argv=None):
         model = AudioModel(config=cfg.audio_model)
         engine = AudioEngine(config=cfg, model=model,
                              aabb=jnp.asarray(audio_train.outputs.aabb, jnp.float32))
-        trainer = Trainer(config=cfg, pipeline=engine)
+        trainer = Trainer(config=cfg, pipeline=engine, output_dir=args.run_dir)
         state = engine.init_state()
         state, _ = trainer.maybe_resume(state, args.load_dir)
 
@@ -116,7 +120,7 @@ def main(argv=None):
 
     bundle = build_pipeline(cfg, mesh=mesh)
     pipe = bundle.pipeline
-    trainer = Trainer(config=cfg, pipeline=pipe)
+    trainer = Trainer(config=cfg, pipeline=pipe, output_dir=args.run_dir)
 
     state = pipe.init_state()
     state, _ = trainer.maybe_resume(state, args.load_dir)

@@ -99,8 +99,15 @@ def camera_to_audio_pose(c2w_camera: "np.ndarray", dataset: str = "SoundSpaces")
     mic_pose = c2w_audio[:3, 3]
 
     if dataset == "RAF":
-        source_cam2world = transform_axis @ np.eye(4)
-        yaw = R.from_matrix(source_cam2world[:3, :3]).as_euler("yxz", degrees=True)[0]
+        # The reference derives the source rotation from the CONSTANT matrix
+        # transform_axis @ eye(4) (NeRAF_model.py:626-637) — a -90° roll
+        # about x, which is exact gimbal lock for the 'yxz' euler sequence.
+        # scipy resolves it as (0, -90, 0) ("setting third angle to zero"),
+        # so the yaw the reference's arithmetic produces is exactly 0.0; we
+        # use that constant directly instead of tripping scipy's gimbal-lock
+        # warning on every viewer request. Pinned against the scipy value in
+        # tests/test_raf_paths.py::test_raf_viewer_yaw_matches_reference.
+        yaw = 0.0
     else:
         yaw = R.from_matrix(c2w[:3, :3]).as_euler("zyx", degrees=True)[0]
     yaw = np.round(yaw, decimals=0)

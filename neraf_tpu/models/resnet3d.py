@@ -22,7 +22,28 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from neraf_tpu.ops.conv3d import conv3d_mm_wgrad
+
 _XAVIER = nn.initializers.xavier_normal()
+
+
+class _TapConv(nn.Module):
+    """Drop-in nn.Conv(use_bias=False) replacement whose weight gradient is
+    computed as k^3 tap matmuls (ops/conv3d.py) — the batch-1 wgrad path XLA
+    lowers poorly for 3D convs. Identical forward, identical param layout
+    ({kernel: (k,k,k,Cin,Cout)}), so checkpoints are interchangeable."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", _XAVIER,
+                       (self.kernel,) * 3 + (x.shape[-1], self.features))
+        return conv3d_mm_wgrad(x.astype(self.dtype), w.astype(self.dtype),
+                               self.stride, (self.kernel - 1) // 2)
 
 
 class _StemConv(nn.Module):
@@ -45,12 +66,17 @@ class _StemConv(nn.Module):
 
     features: int = 64
     impl: str = "s2d"  # "s2d" | "direct"
+    conv_impl: str = "mm_wgrad"  # weight-gradient path: "mm_wgrad" | "direct"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, reshard=None):
         if reshard is None:
             reshard = lambda t, next_stride=1: t
+        conv = (conv3d_mm_wgrad if self.conv_impl == "mm_wgrad"
+                else lambda xx, ww, s, p: jax.lax.conv_general_dilated(
+                    xx, ww, window_strides=(s,) * 3, padding=((p, p),) * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))
         n, d, h, w_sp, c = x.shape
         w = self.param("kernel", _XAVIER, (5, 5, 5, c, self.features))
         wc = w.astype(self.dtype)
@@ -66,24 +92,26 @@ class _StemConv(nn.Module):
             xc = jax.lax.optimization_barrier(xc)
         if self.impl != "s2d" or any(s % 2 for s in (d, h, w_sp)):
             xc = reshard(xc, 2)
-            return jax.lax.conv_general_dilated(
-                xc, wc, window_strides=(2, 2, 2), padding=((2, 2),) * 3,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return conv(xc, wc, 2, 2)
         # kernel: pad taps 5 -> 6, factor i = 2*kd + r -> (3, 2) per axis,
         # gather the within-block taps (r_d, r_h, r_w) into channels
         wp = jnp.pad(wc, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
         wp = wp.reshape(3, 2, 3, 2, 3, 2, c, self.features)
         wp = wp.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(
             3, 3, 3, 8 * c, self.features)
+        # depth-shard BEFORE the fold so the full-volume relayout below runs
+        # on 1/n of the planes per chip instead of replicated on every one
+        # (the fold halves depth like a stride-2 op, hence next_stride=2:
+        # post-fold shards keep >= 2 planes exactly when the hook's
+        # d >= 2*2*n_shards guard holds on the pre-fold volume)
+        xc = reshard(xc, 2)
         # input: fold each 2^3 spatial block into channels (same
         # (r_d, r_h, r_w, c) order as the kernel)
         xs = xc.reshape(n, d // 2, 2, h // 2, 2, w_sp // 2, 2, c)
         xs = xs.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
             n, d // 2, h // 2, w_sp // 2, 8 * c)
         xs = reshard(xs, 1)  # the windowed op below is now stride 1
-        return jax.lax.conv_general_dilated(
-            xs, wp, window_strides=(1, 1, 1), padding=((1, 1),) * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return conv(xs, wp, 1, 1)
 
 
 class Bottleneck3D(nn.Module):
@@ -92,14 +120,20 @@ class Bottleneck3D(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dtype: Any = jnp.float32
+    conv_impl: str = "mm_wgrad"  # "mm_wgrad" (tap-matmul dW) | "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                        epsilon=1e-5, name=name, dtype=self.dtype)
-        conv = lambda ch, k, name, stride=1: nn.Conv(
-            ch, k, strides=(stride,) * 3, padding=(k[0] - 1) // 2, use_bias=False,
-            kernel_init=_XAVIER, name=name, dtype=self.dtype)
+        if self.conv_impl == "mm_wgrad":
+            conv = lambda ch, k, name, stride=1: _TapConv(
+                ch, k[0], stride, dtype=self.dtype, name=name)
+        else:
+            conv = lambda ch, k, name, stride=1: nn.Conv(
+                ch, k, strides=(stride,) * 3, padding=(k[0] - 1) // 2,
+                use_bias=False, kernel_init=_XAVIER, name=name,
+                dtype=self.dtype)
         residual = x
         out = conv(self.planes, (1, 1, 1), "conv1")(x)
         out = nn.relu(bn("bn1")(out))
@@ -121,24 +155,28 @@ class BasicBlock3D(nn.Module):
     downsample: bool = False
     expansion: int = 1
     dtype: Any = jnp.float32
+    conv_impl: str = "mm_wgrad"  # "mm_wgrad" (tap-matmul dW) | "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                        epsilon=1e-5, name=name, dtype=self.dtype)
+        if self.conv_impl == "mm_wgrad":
+            conv = lambda ch, k, name, stride=1: _TapConv(
+                ch, k, stride, dtype=self.dtype, name=name)
+        else:
+            conv = lambda ch, k, name, stride=1: nn.Conv(
+                ch, (k,) * 3, strides=(stride,) * 3, padding=(k - 1) // 2,
+                use_bias=False, kernel_init=_XAVIER, name=name,
+                dtype=self.dtype)
         residual = x
-        out = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
-                      padding=1, use_bias=False, kernel_init=_XAVIER, name="conv1",
-                      dtype=self.dtype)(x)
+        out = conv(self.planes, 3, "conv1", self.stride)(x)
         out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False,
-                      kernel_init=_XAVIER, name="conv2", dtype=self.dtype)(out)
+        out = conv(self.planes, 3, "conv2")(out)
         out = bn("bn2")(out)
         if self.downsample:
-            residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
-                               strides=(self.stride,) * 3, use_bias=False,
-                               kernel_init=_XAVIER, name="down_conv",
-                               dtype=self.dtype)(x)
+            residual = conv(self.planes * self.expansion, 1, "down_conv",
+                            self.stride)(x)
             residual = bn("down_bn")(residual)
         return nn.relu(out + residual)
 
@@ -167,6 +205,7 @@ class ResNet3D(nn.Module):
     dtype: Any = jnp.float32  # compute dtype for convs/BN (bf16 under AMP)
     stem_impl: str = "s2d"  # "s2d" (MXU-friendly, see _StemConv) | "direct"
     pool_impl: str = "separable"  # "separable" (cheap 1-D backwards) | "direct"
+    conv_impl: str = "mm_wgrad"  # "mm_wgrad" (tap-matmul dW) | "direct"
 
     @property
     def feature_dim(self) -> int:
@@ -190,7 +229,8 @@ class ResNet3D(nn.Module):
         if reshard is None:
             reshard = lambda t, next_stride=1: t
 
-        x = _StemConv(features=64, impl=self.stem_impl, dtype=self.dtype,
+        x = _StemConv(features=64, impl=self.stem_impl,
+                      conv_impl=self.conv_impl, dtype=self.dtype,
                       name="conv1")(x, reshard=reshard)  # k5/s2: 128 -> 64
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name="bn1", dtype=self.dtype)(x))
@@ -219,9 +259,11 @@ class ResNet3D(nn.Module):
             needs_down = stride != 1 or in_ch != planes * block.expansion
             x = reshard(x, stride)
             x = block(planes=planes, stride=stride, downsample=needs_down,
-                      name=f"{name}_0", dtype=self.dtype)(x, train)
+                      name=f"{name}_0", dtype=self.dtype,
+                      conv_impl=self.conv_impl)(x, train)
             for i in range(1, blocks):
-                x = block(planes=planes, name=f"{name}_{i}", dtype=self.dtype)(x, train)
+                x = block(planes=planes, name=f"{name}_{i}", dtype=self.dtype,
+                          conv_impl=self.conv_impl)(x, train)
             return x
 
         x = stage(x, 64, layers[0], 1, "layer1")   # 32

@@ -52,8 +52,15 @@ def build_step_inputs(key):
     return cam_arrays, audio_arrays, image_arrays
 
 
-def summarize_xplane(trace_dir: str | Path, top_n: int = 40) -> dict:
-    """Aggregate device/host op self-times from the newest xplane file."""
+def summarize_xplane(trace_dir: str | Path, top_n: int = 40,
+                     per_line: bool = False) -> dict:
+    """Aggregate device/host op self-times from the newest xplane file.
+
+    per_line=True additionally keys the aggregation by (line name) — the
+    device plane mixes the serialized compute line with overlapping async
+    DMA lines, so a cross-line sum double-counts overlap; per-line totals
+    are what a speed-of-light comparison needs.
+    """
     from jax.profiler import ProfileData
 
     files = sorted(Path(trace_dir).rglob("*.xplane.pb"),
@@ -66,21 +73,33 @@ def summarize_xplane(trace_dir: str | Path, top_n: int = 40) -> dict:
     for plane in data.planes:
         # per-plane: sum event durations by event name across all lines
         by_name = defaultdict(float)
+        by_line = {}
         total = 0.0
         t_min, t_max = float("inf"), 0.0
         for line in plane.lines:
+            line_agg = defaultdict(float)
             for ev in line.events:
                 dur = ev.duration_ns / 1e6  # -> ms
                 by_name[ev.name] += dur
+                line_agg[ev.name] += dur
                 total += dur
                 t0 = ev.start_ns / 1e6
                 t_min = min(t_min, t0)
                 t_max = max(t_max, t0 + dur)
+            if line_agg:
+                key = line.name or f"line_{len(by_line)}"
+                by_line[key] = {
+                    "sum_ms": sum(line_agg.values()),
+                    "top": sorted(line_agg.items(),
+                                  key=lambda kv: -kv[1])[:top_n],
+                }
         planes[plane.name] = {
             "sum_event_ms": total,
             "span_ms": (t_max - t_min) if t_max > 0 else 0.0,
             "top": sorted(by_name.items(), key=lambda kv: -kv[1])[:top_n],
         }
+        if per_line:
+            planes[plane.name]["lines"] = by_line
     return planes
 
 
@@ -128,7 +147,7 @@ def main():
     print(f"\nwall per step: {step_ms:.2f} ms ({args.iters} iters, "
           f"{1e3 / step_ms:.2f} steps/s)\n")
 
-    planes = summarize_xplane(args.out, top_n=args.top)
+    planes = summarize_xplane(args.out, top_n=args.top, per_line=True)
     for name, p in planes.items():
         print(f"=== plane: {name} ===")
         print(f"  sum of event self-times: {p['sum_event_ms']:.1f} ms over "
@@ -137,17 +156,17 @@ def main():
               " — >100% means overlapping lines)")
         per_step = p["sum_event_ms"] / args.iters
         print(f"  per-step event time: {per_step:.2f} ms")
-        for ev_name, ms in p["top"]:
-            print(f"    {ms / args.iters:8.3f} ms/step  {ev_name[:110]}")
+        for line_name, ln in p.get("lines", {}).items():
+            print(f"  --- line: {line_name} "
+                  f"({ln['sum_ms'] / args.iters:.2f} ms/step)")
+            for ev_name, ms in ln["top"]:
+                print(f"    {ms / args.iters:8.3f} ms/step  {ev_name[:110]}")
         print()
 
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(
             {"step_ms": step_ms, "iters": args.iters,
-             "planes": {k: {"sum_event_ms": v["sum_event_ms"],
-                            "span_ms": v["span_ms"],
-                            "top": v["top"]} for k, v in planes.items()}},
-            indent=1))
+             "planes": planes}, indent=1))
         print(f"json written to {args.json_out}")
 
 

@@ -108,3 +108,52 @@ def test_batch_stats_update_in_train_mode():
     changed = any(not np.allclose(np.asarray(a), np.asarray(b))
                   for a, b in zip(before, after))
     assert changed
+
+
+def test_separable_maxpool_forward_equal_on_ties():
+    """ADVICE r4: forward equality must hold even on DELIBERATELY tied
+    window elements (quantized input => many exact ties); only gradient
+    routing may differ between the separable and joint pools (both valid
+    subgradients, documented in resnet3d.py)."""
+    import flax.linen as fnn
+
+    x = jnp.round(jax.random.normal(jax.random.PRNGKey(3),
+                                    (1, 16, 16, 16, 4)) * 2.0) / 2.0
+    sep = fnn.max_pool(x, (3, 1, 1), strides=(2, 1, 1),
+                       padding=((1, 1), (0, 0), (0, 0)))
+    sep = fnn.max_pool(sep, (1, 3, 1), strides=(1, 2, 1),
+                       padding=((0, 0), (1, 1), (0, 0)))
+    sep = fnn.max_pool(sep, (1, 1, 3), strides=(1, 1, 2),
+                       padding=((0, 0), (0, 0), (1, 1)))
+    direct = fnn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+                          padding=((1, 1),) * 3)
+    np.testing.assert_array_equal(np.asarray(sep), np.asarray(direct))
+
+
+def test_conv_impl_mm_wgrad_matches_direct():
+    """The tap-matmul weight-gradient path (ops/conv3d.py, default) is
+    numerically identical to XLA's native conv gradients through the whole
+    backbone: same forward, same input grads, same param grads."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 16, 7))
+    m_mm = ResNet3D(backbone="resnet18", conv_impl="mm_wgrad")
+    m_dr = ResNet3D(backbone="resnet18", conv_impl="direct")
+    variables = m_dr.init(jax.random.PRNGKey(0), x, train=True)
+
+    y_mm = m_mm.apply(variables, x, train=False)
+    y_dr = m_dr.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_mm), np.asarray(y_dr))
+
+    def loss(mod):
+        return lambda p, xx: jnp.sum(
+            mod.apply({**variables, "params": p}, xx, train=False) ** 2)
+
+    (gp_mm, gx_mm) = jax.grad(loss(m_mm), argnums=(0, 1))(
+        variables["params"], x)
+    (gp_dr, gx_dr) = jax.grad(loss(m_dr), argnums=(0, 1))(
+        variables["params"], x)
+    np.testing.assert_allclose(np.asarray(gx_mm), np.asarray(gx_dr),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_mm),
+                    jax.tree_util.tree_leaves(gp_dr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
