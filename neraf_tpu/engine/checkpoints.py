@@ -16,6 +16,23 @@ import jax
 import orbax.checkpoint as ocp
 
 
+_DERIVED_FIELDS = ("grid_folded",)  # refolded from `grid` on restore
+
+
+def _strip_derived(state: Any) -> Any:
+    """Drop derived leaves (the pre-folded grid copy) before serialization.
+
+    Keeps checkpoints byte-compatible across rounds in both directions:
+    orbax stores NamedTuples keyed by field name, so a dict with the same
+    remaining keys round-trips into either state shape.
+    """
+    if hasattr(state, "_fields") and any(f in state._fields
+                                         for f in _DERIVED_FIELDS):
+        return {k: v for k, v in state._asdict().items()
+                if k not in _DERIVED_FIELDS}
+    return state
+
+
 def save_checkpoint(ckpt_dir: str | Path, step: int, state: Any,
                     keep_all: bool = True) -> Path:
     """Write state pytree to <ckpt_dir>/step-<step>."""
@@ -23,7 +40,7 @@ def save_checkpoint(ckpt_dir: str | Path, step: int, state: Any,
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step-{step:09d}"
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(path, _strip_derived(state), force=True)
     ckptr.wait_until_finished()
     if not keep_all:
         for p in sorted(ckpt_dir.glob("step-*")):
@@ -48,7 +65,28 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
 
 
 def restore_checkpoint(path: str | Path, target: Any) -> Any:
-    """Restore into the structure of `target` (an abstract or concrete pytree)."""
+    """Restore into the structure of `target` (an abstract or concrete pytree).
+
+    Derived fields (grid_folded) are never stored: they are recomputed from
+    the restored flat grid — bit-identical to what the live state carried,
+    since the folded copy is by construction the cast of the flat grid."""
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
-    return ckptr.restore(Path(path).absolute(), abstract)
+    stripped = _strip_derived(target)
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, stripped)
+    restored = ckptr.restore(Path(path).absolute(), abstract)
+    if stripped is target:
+        return restored
+    extras = {}
+    for f in _DERIVED_FIELDS:
+        if f not in target._fields:
+            continue
+        tgt_leaf = getattr(target, f)
+        if f == "grid_folded" and tgt_leaf is not None:
+            from neraf_tpu.models.grid import fold_grid
+
+            grid = restored["grid"]
+            grid_res = round(grid.shape[0] ** (1.0 / 3.0))
+            extras[f] = fold_grid(grid, grid_res, tgt_leaf.dtype)
+        else:
+            extras[f] = tgt_leaf
+    return type(target)(**restored, **extras)

@@ -72,8 +72,11 @@ def _maybe_lpips(pred, gt) -> float | None:
 from neraf_tpu.models.audio import AudioModel
 from neraf_tpu.models.grid import (
     bake_cells,
+    bake_cells_folded,
     compute_fresh_cells,
     fixed_viewing_directions,
+    fold_grid,
+    folded_bake_supported,
     grid_to_volume,
     init_grid,
     single_viewing_direction,
@@ -86,10 +89,16 @@ class JointTrainState(NamedTuple):
     params: dict  # {"proposal_networks", "fields", "camera_opt", "audio"}
     batch_stats: Any  # ResNet BN running stats
     opt_states: dict  # {"proposal_networks", "fields", "camera_opt", "audio_fields"}
-    grid: jnp.ndarray  # (N_cells, 7)
+    grid: jnp.ndarray  # (N_cells, 7) — authoritative flat grid (checkpointed)
     cursor: jnp.ndarray  # int32
     step: jnp.ndarray  # int32
     rng: jax.Array
+    # Pre-folded s2d copy of `grid` in the ResNet compute dtype, spliced
+    # incrementally at the bake so the stem never refolds the full volume
+    # per step. DERIVED state: excluded from checkpoints (restore refolds
+    # from `grid`), shape (1, R/2, R/2, R/2, 56) — or None when the bake
+    # geometry doesn't support slab splicing (models/grid.py).
+    grid_folded: Any = None
 
 
 @dataclasses.dataclass
@@ -145,6 +154,11 @@ class JointPipeline:
             f"grid_bake_cells_per_step={bake} must divide grid_res^3="
             f"{n_cells}: the bake splice would clamp at the cursor tail and "
             f"double-write cells")
+        # pre-folded grid state: the train step splices fresh cells straight
+        # into the s2d layout the stem consumes, skipping the ~6 ms/step
+        # full-volume fold+convert chain (docs/STEP_PROFILE.md round 5)
+        self._folded_bake = folded_bake_supported(self.grid_res, bake)
+        self._folded_dtype = cdtype
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._render_rays_eval = jax.jit(self._render_rays_eval_impl,
                                          static_argnums=(2,))
@@ -194,6 +208,8 @@ class JointPipeline:
             cursor=jnp.zeros((), jnp.int32),
             step=jnp.zeros((), jnp.int32),
             rng=krng,
+            grid_folded=(fold_grid(grid, self.grid_res, self._folded_dtype)
+                         if self._folded_bake else None),
         )
 
     # ------------------------------------------------------------ shared bits
@@ -205,7 +221,7 @@ class JointPipeline:
         }
 
     def _grid_feature(self, params: dict, batch_stats, grid: jnp.ndarray,
-                      train: bool):
+                      train: bool, prefolded: bool = False):
         """Encode the grid -> (n_features,) descriptor (+ updated BN stats).
 
         Under a mesh, the (1, D, H, W, C) volume is SPATIALLY sharded on
@@ -215,7 +231,7 @@ class JointPipeline:
         for the conv windows and the cross-chip reductions for BatchNorm
         statistics and the final average pool (SURVEY §5.8).
         """
-        vol = grid_to_volume(grid, self.grid_res)
+        vol = grid if prefolded else grid_to_volume(grid, self.grid_res)
         reshard = None
         if self.mesh is not None and "data" in self.mesh.axis_names:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -240,11 +256,12 @@ class JointPipeline:
         if train:
             feat, mut = self.resnet.apply(
                 {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
-                vol, train=True, reshard=reshard, mutable=["batch_stats"])
+                vol, train=True, reshard=reshard, prefolded=prefolded,
+                mutable=["batch_stats"])
             return feat[0], mut["batch_stats"]
         feat = self.resnet.apply(
             {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
-            vol, train=False, reshard=reshard)
+            vol, train=False, reshard=reshard, prefolded=prefolded)
         return feat[0], batch_stats
 
     # ------------------------------------------------------------- train step
@@ -308,11 +325,26 @@ class JointPipeline:
             fresh = compute_fresh_cells(
                 query_fn, state.cursor, self.cells, self.vision_aabb,
                 tcfg.grid_bake_cells_per_step, self.view_dirs)
-            new_grid, new_cursor = bake_cells(state.grid, state.cursor, fresh)
 
             # audio forward (masked before start_step_audio)
-            feat, new_stats = self._grid_feature(
-                params, state.batch_stats, new_grid, train=True)
+            if self._folded_bake:
+                # ResNet reads the PRE-FOLDED grid: the live-fresh splice
+                # lands as one slab in s2d space, the flat grid is pure
+                # bookkeeping (checkpoint/eval) with no gradient path.
+                new_grid, new_cursor = bake_cells(
+                    state.grid, state.cursor, jax.lax.stop_gradient(fresh))
+                new_folded = bake_cells_folded(
+                    state.grid_folded, state.cursor, fresh, self.cells,
+                    self.grid_res)
+                feat, new_stats = self._grid_feature(
+                    params, state.batch_stats, new_folded, train=True,
+                    prefolded=True)
+            else:
+                new_grid, new_cursor = bake_cells(state.grid, state.cursor,
+                                                  fresh)
+                new_folded = state.grid_folded
+                feat, new_stats = self._grid_feature(
+                    params, state.batch_stats, new_grid, train=True)
             aout = self.audio_model.apply(
                 params["audio"]["field"], audio_batch, self.audio_aabb,
                 grid_feature=feat.astype(jnp.float32))
@@ -323,7 +355,7 @@ class JointPipeline:
 
             total = sum(losses.values())
             aux = {"losses": losses, "grid": new_grid, "cursor": new_cursor,
-                   "batch_stats": new_stats}
+                   "grid_folded": new_folded, "batch_stats": new_stats}
             return total, aux
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -379,6 +411,7 @@ class JointPipeline:
             cursor=aux["cursor"],
             step=state.step + 1,
             rng=rng,
+            grid_folded=aux["grid_folded"],
         )
         return new_state, metrics
 

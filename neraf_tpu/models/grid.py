@@ -107,6 +107,77 @@ def compute_fresh_cells(
     return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
 
+def fold_volume(vol: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Space-to-depth fold: (N, D, H, W, C) -> (N, D/2, H/2, W/2, 8C).
+
+    Channel order of the folded axis is (fd, fh, fw, c) — each output
+    channel 8*c block holds one 2^3 sub-position. This is THE fold the
+    ResNet stem consumes (models/resnet3d.py::_StemConv): keeping the grid
+    state pre-folded removes a ~6 ms/step relayout+convert chain from the
+    joint step (docs/STEP_PROFILE.md round-5 section).
+    """
+    n, d, h, w, c = vol.shape
+    x = vol if dtype is None else vol.astype(dtype)
+    x = x.reshape(n, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(n, d // 2, h // 2, w // 2, 8 * c)
+
+
+def unfold_volume(folded: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of fold_volume: (N, D2, H2, W2, 8C) -> (N, 2*D2, 2*H2, 2*W2, C)."""
+    n, d2, h2, w2, c8 = folded.shape
+    c = c8 // 8
+    x = folded.reshape(n, d2, h2, w2, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(n, 2 * d2, 2 * h2, 2 * w2, c)
+
+
+def fold_grid(grid_flat: jnp.ndarray, grid_res: int, dtype=None) -> jnp.ndarray:
+    """(N_cells, 7) flat grid -> pre-folded (1, R/2, R/2, R/2, 56) volume."""
+    return fold_volume(grid_to_volume(grid_flat, grid_res), dtype=dtype)
+
+
+def folded_bake_supported(grid_res: int, cells_per_step: int) -> bool:
+    """True when one cursor batch maps to ONE contiguous slab of the folded
+    volume: the batch must cover whole z-rows in even-y pairs
+    (cells_per_step % 2R == 0) and never cross an x-plane boundary
+    (R^2 % cells_per_step == 0). Production (R=128, 4096/step) qualifies."""
+    return (grid_res % 2 == 0
+            and cells_per_step % (2 * grid_res) == 0
+            and grid_res ** 2 % cells_per_step == 0)
+
+
+def bake_cells_folded(folded: jnp.ndarray, cursor: jnp.ndarray,
+                      fresh: jnp.ndarray, cells: jnp.ndarray,
+                      grid_res: int) -> jnp.ndarray:
+    """Splice one cursor batch of fresh cells into the PRE-FOLDED grid.
+
+    Same detach-then-write-live gradient semantics as bake_cells, but the
+    splice lands directly in the s2d layout the ResNet stem consumes, so
+    neither the forward fold nor its full-volume backward ever runs inside
+    the train step. The flat batch [cursor, cursor+B) covers x = cursor/R^2
+    (fixed), y in [y0, y0+B/R), z in [0, R); in folded space that is one
+    dynamic_update_slice at depth x//2, rows y0//2, channel offset
+    (x%2)*4*C. Requires folded_bake_supported(grid_res, B).
+    """
+    r = grid_res
+    b = fresh.shape[0]
+    ny = b // r
+    base = jax.lax.stop_gradient(folded)
+    xyz = jax.lax.dynamic_slice(cells, (cursor, jnp.int32(0)), (b, 3))
+    full = jnp.concatenate([fresh, xyz], axis=-1).astype(base.dtype)  # (B,7)
+    # (B,7) over (y,z) C-order -> (h2, w2, fh*fw*c): y = 2*hh+fh, z = 2*ww+fw
+    slab = full.reshape(ny // 2, 2, r // 2, 2, GRID_CHANNELS)
+    slab = slab.transpose(0, 2, 1, 3, 4).reshape(
+        1, 1, ny // 2, r // 2, 4 * GRID_CHANNELS)
+    x_plane = cursor // (r * r)
+    y0 = (cursor % (r * r)) // r
+    return jax.lax.dynamic_update_slice(
+        base, slab,
+        (jnp.int32(0), x_plane // 2, y0 // 2, jnp.int32(0),
+         (x_plane % 2) * 4 * GRID_CHANNELS))
+
+
 def bake_cells(grid_flat: jnp.ndarray, cursor: jnp.ndarray,
                fresh: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Splice fresh cells into a detached grid; advance the cursor (with wrap).

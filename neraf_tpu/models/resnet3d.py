@@ -66,11 +66,11 @@ class _StemConv(nn.Module):
 
     features: int = 64
     impl: str = "s2d"  # "s2d" | "direct"
-    conv_impl: str = "mm_wgrad"  # weight-gradient path: "mm_wgrad" | "direct"
+    conv_impl: str = "direct"  # weight-gradient path: "direct" | "mm_wgrad"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, reshard=None):
+    def __call__(self, x, reshard=None, prefolded: bool = False):
         if reshard is None:
             reshard = lambda t, next_stride=1: t
         conv = (conv3d_mm_wgrad if self.conv_impl == "mm_wgrad"
@@ -78,6 +78,20 @@ class _StemConv(nn.Module):
                     xx, ww, window_strides=(s,) * 3, padding=((p, p),) * 3,
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))
         n, d, h, w_sp, c = x.shape
+        if prefolded:
+            # x is ALREADY the s2d-folded (N, D/2, H/2, W/2, 8*C_in) volume
+            # (models/grid.py fold order) in the compute dtype — the joint
+            # step keeps the grid state pre-folded so the full-volume
+            # relayout below never runs per-step.
+            c = c // 8
+            w = self.param("kernel", _XAVIER, (5, 5, 5, c, self.features))
+            wp = jnp.pad(w.astype(self.dtype),
+                         ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+            wp = wp.reshape(3, 2, 3, 2, 3, 2, c, self.features)
+            wp = wp.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(
+                3, 3, 3, 8 * c, self.features)
+            xs = reshard(x.astype(self.dtype), 1)
+            return conv(xs, wp, 1, 1)
         w = self.param("kernel", _XAVIER, (5, 5, 5, c, self.features))
         wc = w.astype(self.dtype)
         # cast FIRST: the s2d reshape below is a physical relayout of the
@@ -120,7 +134,7 @@ class Bottleneck3D(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dtype: Any = jnp.float32
-    conv_impl: str = "mm_wgrad"  # "mm_wgrad" (tap-matmul dW) | "direct"
+    conv_impl: str = "direct"  # "direct" (XLA) | "mm_wgrad" (tap-matmul dW; slower blanket-applied: A/B 53.2 vs 49.7 ms/step on v5e r5)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -155,7 +169,7 @@ class BasicBlock3D(nn.Module):
     downsample: bool = False
     expansion: int = 1
     dtype: Any = jnp.float32
-    conv_impl: str = "mm_wgrad"  # "mm_wgrad" (tap-matmul dW) | "direct"
+    conv_impl: str = "direct"  # "direct" (XLA) | "mm_wgrad" (tap-matmul dW; slower blanket-applied: A/B 53.2 vs 49.7 ms/step on v5e r5)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -205,7 +219,7 @@ class ResNet3D(nn.Module):
     dtype: Any = jnp.float32  # compute dtype for convs/BN (bf16 under AMP)
     stem_impl: str = "s2d"  # "s2d" (MXU-friendly, see _StemConv) | "direct"
     pool_impl: str = "separable"  # "separable" (cheap 1-D backwards) | "direct"
-    conv_impl: str = "mm_wgrad"  # "mm_wgrad" (tap-matmul dW) | "direct"
+    conv_impl: str = "direct"  # "direct" (XLA) | "mm_wgrad" (tap-matmul dW; slower blanket-applied: A/B 53.2 vs 49.7 ms/step on v5e r5)
 
     @property
     def feature_dim(self) -> int:
@@ -214,7 +228,8 @@ class ResNet3D(nn.Module):
         return planes * block.expansion
 
     @nn.compact
-    def __call__(self, x, train: bool = True, reshard=None):
+    def __call__(self, x, train: bool = True, reshard=None,
+                 prefolded: bool = False):
         """reshard: optional callable(x, next_stride) -> x applied at the
         input and at every stage boundary. Under a device mesh the pipeline
         passes a hook that depth-shards the volume while every windowed op
@@ -231,7 +246,8 @@ class ResNet3D(nn.Module):
 
         x = _StemConv(features=64, impl=self.stem_impl,
                       conv_impl=self.conv_impl, dtype=self.dtype,
-                      name="conv1")(x, reshard=reshard)  # k5/s2: 128 -> 64
+                      name="conv1")(x, reshard=reshard,
+                                    prefolded=prefolded)  # k5/s2: 128 -> 64
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name="bn1", dtype=self.dtype)(x))
         x = reshard(x, 2)  # maxpool is stride 2
