@@ -72,17 +72,32 @@ def _maybe_lpips(pred, gt) -> float | None:
 from neraf_tpu.models.audio import AudioModel
 from neraf_tpu.models.grid import (
     bake_cells,
-    bake_cells_folded,
     compute_fresh_cells,
     fixed_viewing_directions,
     fold_grid,
     folded_bake_supported,
+    folded_slab,
     grid_to_volume,
     init_grid,
     single_viewing_direction,
 )
 from neraf_tpu.models.resnet3d import ResNet3D
 from neraf_tpu.models.vision import VisionModel
+
+
+def _stem_wgrad_pallas_enabled() -> bool:
+    """Opt-in gate for the Pallas stem weight-gradient kernel.
+
+    Measured on v5e at production geometry (64^3 x 56ch bf16) the kernel is
+    ~8-10 ms vs XLA's native wgrad at 0.4 ms standalone (strided halo
+    slices relayout per tap) — see docs/STEP_PROFILE.md. Kept behind
+    NERAF_STEM_WGRAD_PALLAS=1 so a future Mosaic improvement can be re-probed
+    without code changes; the slab-local INPUT VJP (the actual win) is
+    unconditional.
+    """
+    import os
+
+    return os.environ.get("NERAF_STEM_WGRAD_PALLAS", "0") == "1"
 
 
 class JointTrainState(NamedTuple):
@@ -221,7 +236,7 @@ class JointPipeline:
         }
 
     def _grid_feature(self, params: dict, batch_stats, grid: jnp.ndarray,
-                      train: bool, prefolded: bool = False):
+                      train: bool, prefolded: bool = False, bake_slab=None):
         """Encode the grid -> (n_features,) descriptor (+ updated BN stats).
 
         Under a mesh, the (1, D, H, W, C) volume is SPATIALLY sharded on
@@ -257,7 +272,7 @@ class JointPipeline:
             feat, mut = self.resnet.apply(
                 {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
                 vol, train=True, reshard=reshard, prefolded=prefolded,
-                mutable=["batch_stats"])
+                bake_slab=bake_slab, mutable=["batch_stats"])
             return feat[0], mut["batch_stats"]
         feat = self.resnet.apply(
             {"params": params["audio"]["resnet"], "batch_stats": batch_stats},
@@ -331,14 +346,24 @@ class JointPipeline:
                 # ResNet reads the PRE-FOLDED grid: the live-fresh splice
                 # lands as one slab in s2d space, the flat grid is pure
                 # bookkeeping (checkpoint/eval) with no gradient path.
+                # The slab itself carries the live gradient path into the
+                # stem's slab-local VJP (ops/baked_stem.py) — the spliced
+                # volume is entirely detached.
                 new_grid, new_cursor = bake_cells(
                     state.grid, state.cursor, jax.lax.stop_gradient(fresh))
-                new_folded = bake_cells_folded(
-                    state.grid_folded, state.cursor, fresh, self.cells,
-                    self.grid_res)
+                slab, sd0, sh0, sch = folded_slab(
+                    fresh, state.cursor, self.cells, self.grid_res,
+                    self._folded_dtype)
+                new_folded = jax.lax.dynamic_update_slice(
+                    jax.lax.stop_gradient(state.grid_folded),
+                    jax.lax.stop_gradient(slab),
+                    (jnp.int32(0), sd0, sh0, jnp.int32(0), sch))
                 feat, new_stats = self._grid_feature(
                     params, state.batch_stats, new_folded, train=True,
-                    prefolded=True)
+                    prefolded=True,
+                    bake_slab=(slab, sd0, sh0, sch,
+                               _stem_wgrad_pallas_enabled()
+                               and self.mesh is None))
             else:
                 new_grid, new_cursor = bake_cells(state.grid, state.cursor,
                                                   fresh)

@@ -147,6 +147,32 @@ def folded_bake_supported(grid_res: int, cells_per_step: int) -> bool:
             and grid_res ** 2 % cells_per_step == 0)
 
 
+def folded_slab(fresh: jnp.ndarray, cursor: jnp.ndarray,
+                cells: jnp.ndarray, grid_res: int, dtype):
+    """Fold one cursor batch of fresh cells into its s2d slab + placement.
+
+    The flat batch [cursor, cursor+B) covers x = cursor/R^2 (fixed),
+    y in [y0, y0+B/R), z in [0, R); in folded space that is ONE contiguous
+    slab at depth x//2, rows y0//2, channel offset (x%2)*4*C
+    (requires folded_bake_supported(grid_res, B)).
+
+    Returns (slab (1,1,B/2R,R/2,4C), d0, h0, ch_off) — d0/h0/ch_off traced
+    int32 scalars in folded coordinates.
+    """
+    r = grid_res
+    b = fresh.shape[0]
+    ny = b // r
+    xyz = jax.lax.dynamic_slice(cells, (cursor, jnp.int32(0)), (b, 3))
+    full = jnp.concatenate([fresh, xyz], axis=-1).astype(dtype)  # (B,7)
+    # (B,7) over (y,z) C-order -> (h2, w2, fh*fw*c): y = 2*hh+fh, z = 2*ww+fw
+    slab = full.reshape(ny // 2, 2, r // 2, 2, GRID_CHANNELS)
+    slab = slab.transpose(0, 2, 1, 3, 4).reshape(
+        1, 1, ny // 2, r // 2, 4 * GRID_CHANNELS)
+    x_plane = cursor // (r * r)
+    y0 = (cursor % (r * r)) // r
+    return slab, x_plane // 2, y0 // 2, (x_plane % 2) * 4 * GRID_CHANNELS
+
+
 def bake_cells_folded(folded: jnp.ndarray, cursor: jnp.ndarray,
                       fresh: jnp.ndarray, cells: jnp.ndarray,
                       grid_res: int) -> jnp.ndarray:
@@ -155,27 +181,13 @@ def bake_cells_folded(folded: jnp.ndarray, cursor: jnp.ndarray,
     Same detach-then-write-live gradient semantics as bake_cells, but the
     splice lands directly in the s2d layout the ResNet stem consumes, so
     neither the forward fold nor its full-volume backward ever runs inside
-    the train step. The flat batch [cursor, cursor+B) covers x = cursor/R^2
-    (fixed), y in [y0, y0+B/R), z in [0, R); in folded space that is one
-    dynamic_update_slice at depth x//2, rows y0//2, channel offset
-    (x%2)*4*C. Requires folded_bake_supported(grid_res, B).
+    the train step (see folded_slab for the geometry).
     """
-    r = grid_res
-    b = fresh.shape[0]
-    ny = b // r
     base = jax.lax.stop_gradient(folded)
-    xyz = jax.lax.dynamic_slice(cells, (cursor, jnp.int32(0)), (b, 3))
-    full = jnp.concatenate([fresh, xyz], axis=-1).astype(base.dtype)  # (B,7)
-    # (B,7) over (y,z) C-order -> (h2, w2, fh*fw*c): y = 2*hh+fh, z = 2*ww+fw
-    slab = full.reshape(ny // 2, 2, r // 2, 2, GRID_CHANNELS)
-    slab = slab.transpose(0, 2, 1, 3, 4).reshape(
-        1, 1, ny // 2, r // 2, 4 * GRID_CHANNELS)
-    x_plane = cursor // (r * r)
-    y0 = (cursor % (r * r)) // r
+    slab, d0, h0, ch_off = folded_slab(fresh, cursor, cells, grid_res,
+                                       base.dtype)
     return jax.lax.dynamic_update_slice(
-        base, slab,
-        (jnp.int32(0), x_plane // 2, y0 // 2, jnp.int32(0),
-         (x_plane % 2) * 4 * GRID_CHANNELS))
+        base, slab, (jnp.int32(0), d0, h0, jnp.int32(0), ch_off))
 
 
 def bake_cells(grid_flat: jnp.ndarray, cursor: jnp.ndarray,

@@ -70,7 +70,8 @@ class _StemConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, reshard=None, prefolded: bool = False):
+    def __call__(self, x, reshard=None, prefolded: bool = False,
+                 bake_slab=None):
         if reshard is None:
             reshard = lambda t, next_stride=1: t
         conv = (conv3d_mm_wgrad if self.conv_impl == "mm_wgrad"
@@ -91,6 +92,16 @@ class _StemConv(nn.Module):
             wp = wp.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(
                 3, 3, 3, 8 * c, self.features)
             xs = reshard(x.astype(self.dtype), 1)
+            if bake_slab is not None:
+                # live-bake path: route the input gradient straight to the
+                # baked slab instead of materializing the full-volume dgrad,
+                # and run the weight grad as the Pallas one-pass kernel when
+                # allowed (ops/baked_stem.py)
+                from neraf_tpu.ops.baked_stem import stem_conv_baked
+
+                slab, d0, h0, ch_off, allow_pallas = bake_slab
+                return stem_conv_baked(xs, slab.astype(self.dtype),
+                                       d0, h0, ch_off, wp, allow_pallas)
             return conv(xs, wp, 1, 1)
         w = self.param("kernel", _XAVIER, (5, 5, 5, c, self.features))
         wc = w.astype(self.dtype)
@@ -229,7 +240,7 @@ class ResNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, reshard=None,
-                 prefolded: bool = False):
+                 prefolded: bool = False, bake_slab=None):
         """reshard: optional callable(x, next_stride) -> x applied at the
         input and at every stage boundary. Under a device mesh the pipeline
         passes a hook that depth-shards the volume while every windowed op
@@ -246,8 +257,8 @@ class ResNet3D(nn.Module):
 
         x = _StemConv(features=64, impl=self.stem_impl,
                       conv_impl=self.conv_impl, dtype=self.dtype,
-                      name="conv1")(x, reshard=reshard,
-                                    prefolded=prefolded)  # k5/s2: 128 -> 64
+                      name="conv1")(x, reshard=reshard, prefolded=prefolded,
+                                    bake_slab=bake_slab)  # k5/s2: 128 -> 64
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name="bn1", dtype=self.dtype)(x))
         x = reshard(x, 2)  # maxpool is stride 2

@@ -195,3 +195,54 @@ def test_restore_legacy_seven_field_checkpoint(tmp_path):
                                   np.asarray(state.grid))
     np.testing.assert_array_equal(np.asarray(restored.grid_folded),
                                   np.asarray(state.grid_folded))
+
+
+def test_stem_conv_baked_matches_autodiff():
+    """ops/baked_stem.py: the slab-local input VJP must equal autodiff
+    through conv(DUS(stop_grad(base), slab)) — values, d_slab and d_w —
+    including slabs at every boundary (first/last depth plane, first/last
+    row block, both channel offsets)."""
+    from neraf_tpu.ops.baked_stem import stem_conv_baked
+
+    r = 8  # folded volume (1, 4, 4, 4, 56); bake=16 -> slab (1,1,1,4,28)
+    bake = 16
+    rng = np.random.RandomState(3)
+    base = jnp.asarray(rng.randn(1, r // 2, r // 2, r // 2,
+                                 8 * 7), jnp.float32)
+    wp = jnp.asarray(rng.randn(3, 3, 3, 56, 5) * 0.1, jnp.float32)
+    cells = jnp.asarray(cell_centers(r))
+    probe = jnp.asarray(rng.randn(1, r // 2, r // 2, r // 2, 5), jnp.float32)
+
+    def ref_loss(fresh, w, cursor):
+        nf = bake_cells_folded(base, cursor, fresh, cells, r)
+        out = jax.lax.conv_general_dilated(
+            nf, w, (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(out * probe)
+
+    from neraf_tpu.models.grid import folded_slab
+
+    def new_loss(fresh, w, cursor):
+        slab, d0, h0, ch = folded_slab(fresh, cursor, cells, r, base.dtype)
+        nf = jax.lax.dynamic_update_slice(
+            base, jax.lax.stop_gradient(slab),
+            (jnp.int32(0), d0, h0, jnp.int32(0), ch))
+        out = stem_conv_baked(nf, slab, d0, h0, ch, w)
+        return jnp.sum(out * probe)
+
+    # every cursor position of the full refresh cycle (r^3/bake = 32 slabs
+    # covering all depth planes, row blocks and both channel offsets)
+    for cursor in range(0, r ** 3, bake):
+        fresh = jnp.asarray(rng.randn(bake, 4), jnp.float32)
+        c = jnp.int32(cursor)
+        v_ref = float(ref_loss(fresh, wp, c))
+        v_new = float(new_loss(fresh, wp, c))
+        np.testing.assert_allclose(v_new, v_ref, rtol=1e-5, err_msg=str(cursor))
+        g_ref = jax.grad(ref_loss, argnums=(0, 1))(fresh, wp, c)
+        g_new = jax.grad(new_loss, argnums=(0, 1))(fresh, wp, c)
+        np.testing.assert_allclose(np.asarray(g_new[0]), np.asarray(g_ref[0]),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"d_fresh cursor={cursor}")
+        np.testing.assert_allclose(np.asarray(g_new[1]), np.asarray(g_ref[1]),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"d_w cursor={cursor}")
