@@ -120,6 +120,11 @@ class VisionModelConfig:
     # XLA-native scatter elsewhere; see ops/hashgrid.py gather_rows
     hash_grad_mode: str = "auto"
     proposal_encoding: str = "fourier"  # encoding for proposal density fields
+    # fourier PE+MLP execution: "auto" uses the fused Pallas kernel
+    # (ops/pallas/fused_pe_mlp.py) on unmeshed TPU runs when its AOT probe
+    # compiles, else the XLA layer chain; "fused"/"xla" force either.
+    # Env NERAF_PE_MLP={fused,xla} overrides (A/B harness).
+    pe_mlp_impl: str = "auto"
     # field MLPs
     hidden_dim: int = 64
     hidden_dim_color: int = 64

@@ -68,8 +68,12 @@ def build_pipeline(cfg: ExperimentConfig, mesh=None, with_vision: bool = True,
     import jax.numpy as jnp
 
     cdtype = jnp.bfloat16 if cfg.trainer.mixed_precision else jnp.float32
+    from neraf_tpu.ops.pallas.fused_pe_mlp import resolve_pe_mlp_fused
+
     vision_model = VisionModel(config=cfg.vision_model, num_cameras=num_cameras,
-                               compute_dtype=cdtype)
+                               compute_dtype=cdtype,
+                               fused_pe_mlp=resolve_pe_mlp_fused(
+                                   cfg.vision_model, mesh))
     audio_model = AudioModel(
         config=acfg, grid_feature_dim=feat_dim if acfg.use_grid else 0,
         compute_dtype=cdtype)

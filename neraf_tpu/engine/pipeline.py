@@ -557,10 +557,17 @@ class JointPipeline:
         n_cells = self.cells.shape[0]
         assert n_cells % batch_size == 0
 
+        # scan-safe field: Mosaic kernels inside lax.scan bodies are a known
+        # crash/compile hazard on this backend (docs/HASH_PERF.md round 3),
+        # so this debug path always queries through the XLA MLP
+        import dataclasses as _dc
+
+        vision_model = _dc.replace(self.vision_model, fused_pe_mlp=False)
+
         @jax.jit
         def full_bake(params, grid):
             def query_fn(pos, dirs):
-                return self.vision_model.query_density_rgb(
+                return vision_model.query_density_rgb(
                     self._vision_params(params), pos, dirs)
 
             def body(carry, cursor):

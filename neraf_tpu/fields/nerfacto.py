@@ -17,6 +17,7 @@ stay resident in VMEM across the batch).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import flax.linen as nn
 import jax
@@ -26,6 +27,44 @@ from neraf_tpu.configs.config import VisionModelConfig
 from neraf_tpu.ops.contraction import contract_to_unit
 from neraf_tpu.ops.encodings import sh_encoding
 from neraf_tpu.ops.hashgrid import HashGridSpec, hash_encoding, init_hash_table
+
+
+def _pe_mlp_block() -> int:
+    return int(os.environ.get("NERAF_PE_MLP_BLOCK", "2048"))
+
+
+def _pe_mlp_interpret() -> bool:
+    # test hook: lets CPU suites drive the fused path in interpret mode
+    return os.environ.get("NERAF_PE_MLP_INTERPRET", "") == "1"
+
+
+class DenseParams(nn.Module):
+    """Dense layer whose params are directly readable by fused kernels.
+
+    Declares the exact {kernel, bias} param structure (and default inits)
+    of nn.Dense so checkpoints are interchangeable; __call__ reproduces
+    nn.Dense's compute (cast everything to `dtype`, matmul, bias add) for
+    the XLA path, while the fused Pallas path reads .kernel/.bias
+    directly (flax gives no way to read a sibling nn.Dense's params).
+    """
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (x.astype(self.dtype) @ self.kernel.astype(self.dtype)
+                + self.bias.astype(self.dtype))
+
+    def wb(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(kernel, bias) for fused kernels (method call => flax binds+setups)."""
+        return self.kernel, self.bias
 
 
 @jax.custom_vjp
@@ -62,6 +101,7 @@ class NerfactoField(nn.Module):
     config: VisionModelConfig
     num_cameras: int = 1
     dtype: jnp.dtype = jnp.float32  # compute dtype for the MLPs
+    fused_mlp: bool = False  # fourier base MLP via the Pallas fused kernel
 
     def setup(self):
         cfg = self.config
@@ -76,12 +116,17 @@ class NerfactoField(nn.Module):
             ))
             base_layers = 2
             base_width = cfg.hidden_dim
+            enc_dim = cfg.num_levels * cfg.features_per_level
         else:  # fourier: deeper/wider base MLP carries the capacity
             base_layers = cfg.base_mlp_layers
             base_width = cfg.base_mlp_width
-        self.mlp_base = [nn.Dense(base_width, name=f"base_{i}", dtype=self.dtype)
+            enc_dim = 6 * cfg.num_frequencies + 3
+        in_dims = [enc_dim] + [base_width] * (base_layers - 1)
+        self.mlp_base = [DenseParams(base_width, in_dims[i], name=f"base_{i}",
+                                     dtype=self.dtype)
                          for i in range(base_layers)]
-        self.base_out = nn.Dense(1 + cfg.geo_feat_dim, name="base_out", dtype=self.dtype)
+        self.base_out = DenseParams(1 + cfg.geo_feat_dim, base_width,
+                                    name="base_out", dtype=self.dtype)
         self.mlp_head = [nn.Dense(cfg.hidden_dim_color, name=f"head_{i}", dtype=self.dtype)
                          for i in range(3)]
         self.head_out = nn.Dense(3, name="head_out", dtype=self.dtype)
@@ -102,15 +147,32 @@ class NerfactoField(nn.Module):
         else:
             x = (positions + 1.0) / 2.0  # scene box [-1, 1]^3
             selector = jnp.all((x > 0.0) & (x < 1.0), axis=-1)
-        if self.config.encoding == "hash":
-            h = self.hash(x)
-        else:
-            from neraf_tpu.ops.encodings import nerf_encoding
+        if self.config.encoding != "hash" and self.fused_mlp and contract:
+            # fused Pallas PE+MLP: no [N, width] activation ever touches HBM.
+            # Ray paths only (contract=True): running it on the grid-bake
+            # path (contract=False) feeds the custom-call's fixed row-major
+            # output layout into the carried grid state and cascades a
+            # ~6 ms/step layout regression through the ResNet stem + pools
+            # (joint select-and-scatter backwards reappear; profiled r5)
+            from neraf_tpu.ops.pallas.fused_pe_mlp import pe_mlp
 
-            h = nerf_encoding(x, num_frequencies=self.config.num_frequencies)
-        for layer in self.mlp_base:
-            h = nn.relu(layer(h))
-        h = self.base_out(h)
+            params = [m.wb() for m in self.mlp_base]
+            params.append(self.base_out.wb())
+            flat = x.reshape(-1, 3)
+            h = pe_mlp(flat, params,
+                       self.config.num_frequencies, 0.0, 8.0, self.dtype,
+                       _pe_mlp_block(), _pe_mlp_interpret())
+            h = h.reshape(*x.shape[:-1], h.shape[-1]).astype(self.dtype)
+        else:
+            if self.config.encoding == "hash":
+                h = self.hash(x)
+            else:
+                from neraf_tpu.ops.encodings import nerf_encoding
+
+                h = nerf_encoding(x, num_frequencies=self.config.num_frequencies)
+            for layer in self.mlp_base:
+                h = nn.relu(layer(h))
+            h = self.base_out(h)
         density_raw, geo = h[..., :1], h[..., 1:]
         density = self.config.average_init_density * trunc_exp(
             density_raw.astype(jnp.float32))
@@ -186,11 +248,33 @@ class ProposalDensityField(nn.Module):
     spec: ProposalFieldSpec
     average_init_density: float = 0.01
     dtype: jnp.dtype = jnp.float32
+    fused_mlp: bool = False  # fourier PE+MLP via the Pallas fused kernel
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray, contract: bool = True) -> jnp.ndarray:
         x = contract_to_unit(positions) if contract else positions
-        if self.spec.encoding == "hash":
+        if self.spec.encoding != "hash" and self.fused_mlp:
+            # explicit Dense_{i} names keep the param tree (and checkpoints)
+            # identical to the nn.Dense auto-named XLA path below
+            from neraf_tpu.ops.pallas.fused_pe_mlp import pe_mlp
+
+            enc_dim = 6 * self.spec.num_frequencies + 3
+            in_dims = [enc_dim] + [self.spec.mlp_width] * (self.spec.mlp_layers - 1)
+            params = []
+            for i in range(self.spec.mlp_layers):
+                m = DenseParams(self.spec.mlp_width, in_dims[i],
+                                name=f"Dense_{i}", dtype=self.dtype)
+                params.append(m.wb())
+            mo = DenseParams(1, self.spec.mlp_width,
+                             name=f"Dense_{self.spec.mlp_layers}",
+                             dtype=self.dtype)
+            params.append(mo.wb())
+            flat = x.reshape(-1, 3)
+            h = pe_mlp(flat, params,
+                       self.spec.num_frequencies, 0.0, 8.0, self.dtype,
+                       _pe_mlp_block(), _pe_mlp_interpret())
+            h = h.reshape(*x.shape[:-1], 1)
+        elif self.spec.encoding == "hash":
             h = HashTable(HashGridSpec(
                 num_levels=self.spec.num_levels,
                 features_per_level=self.spec.features_per_level,
@@ -200,11 +284,12 @@ class ProposalDensityField(nn.Module):
                 grad_mode=self.spec.hash_grad_mode,
             ))(x)
             h = nn.relu(nn.Dense(self.spec.hidden_dim, dtype=self.dtype)(h))
+            h = nn.Dense(1, dtype=self.dtype)(h)
         else:
             from neraf_tpu.ops.encodings import nerf_encoding
 
             h = nerf_encoding(x, num_frequencies=self.spec.num_frequencies)
             for _ in range(self.spec.mlp_layers):
                 h = nn.relu(nn.Dense(self.spec.mlp_width, dtype=self.dtype)(h))
-        h = nn.Dense(1, dtype=self.dtype)(h)
+            h = nn.Dense(1, dtype=self.dtype)(h)
         return self.average_init_density * trunc_exp(h[..., 0].astype(jnp.float32))

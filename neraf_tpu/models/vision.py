@@ -55,11 +55,13 @@ class VisionModel:
     near: float = 0.05
     far: float = 1000.0
     compute_dtype: Any = jnp.float32  # bf16 under mixed precision
+    fused_pe_mlp: bool = False  # Pallas fused PE+MLP (ops/pallas/fused_pe_mlp)
 
     @property
     def field(self) -> NerfactoField:
         return NerfactoField(config=self.config, num_cameras=self.num_cameras,
-                             dtype=self.compute_dtype)
+                             dtype=self.compute_dtype,
+                             fused_mlp=self.fused_pe_mlp)
 
     def proposal(self, level: int) -> ProposalDensityField:
         max_res = 128 if level == 0 else 256
@@ -68,6 +70,7 @@ class VisionModel:
             spec=ProposalFieldSpec(encoding=prop_enc, max_res=max_res),
             average_init_density=self.config.average_init_density,
             dtype=self.compute_dtype,
+            fused_mlp=self.fused_pe_mlp,
         )
 
     def init(self, key: jax.Array) -> dict:
